@@ -1,0 +1,50 @@
+"""Complex arithmetic over real float32 pairs.
+
+The TPU backend in this deployment implements neither complex dtypes nor an
+FFT, so every complex tensor on device is float32 with a trailing dim of 2
+(re, im).  This is also the on-disk layout of gr_complex IQ captures
+(interleaved float32), so host->device ingestion is a zero-copy reinterpret.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def to_ri(x: np.ndarray) -> np.ndarray:
+    """complex -> [..., 2] float32 (host-side)."""
+    x = np.asarray(x, dtype=np.complex64)
+    return x.view(np.float32).reshape(*x.shape, 2)
+
+
+def from_ri(x) -> np.ndarray:
+    """[..., 2] float32 -> complex64 (host-side)."""
+    x = np.asarray(x, dtype=np.float32)
+    return x[..., 0] + 1j * x[..., 1]
+
+
+def cmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise complex multiply of [..., 2] pairs."""
+    ar, ai = a[..., 0], a[..., 1]
+    br, bi = b[..., 0], b[..., 1]
+    return jnp.stack([ar * br - ai * bi, ar * bi + ai * br], axis=-1)
+
+
+def cmag(a: jnp.ndarray) -> jnp.ndarray:
+    """|a| of [..., 2] pairs -> [...] float32."""
+    return jnp.sqrt(a[..., 0] ** 2 + a[..., 1] ** 2)
+
+
+def cmag2(a: jnp.ndarray) -> jnp.ndarray:
+    """|a|^2 (cheaper when only comparisons are needed)."""
+    return a[..., 0] ** 2 + a[..., 1] ** 2
+
+
+def cmatmul(x: jnp.ndarray, w_re: jnp.ndarray, w_im: jnp.ndarray,
+            precision=None) -> jnp.ndarray:
+    """[..., N, 2] @ complex[N, M] -> [..., M, 2] via four real MXU matmuls."""
+    xr, xi = x[..., 0], x[..., 1]
+    yr = jnp.matmul(xr, w_re, precision=precision) - jnp.matmul(xi, w_im, precision=precision)
+    yi = jnp.matmul(xr, w_im, precision=precision) + jnp.matmul(xi, w_re, precision=precision)
+    return jnp.stack([yr, yi], axis=-1)
