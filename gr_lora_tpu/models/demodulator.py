@@ -1,0 +1,342 @@
+"""Single-packet demodulator: IQ stream -> symbol vectors.
+
+A faithful re-expression of the reference 7-state FSM
+(demod_impl.cc:293-628) as one jit-compiled ``lax.while_loop`` over a sample
+pointer.  Every per-iteration FFT/argmax is an MXU zoom-DFT (ops/dft.py); all
+state is a fixed-shape pytree, so the whole demodulator — including the
+explicit-header feedback, which the reference routes through an async
+message-port round-trip (demod_impl.cc:508-554 + decode_impl.cc:345-355) —
+compiles to a single XLA program and can be vmapped over channels.
+
+States: 0 RESET, 1 PREFILL, 2 DETECT_PREAMBLE, 3 SFD_SYNC, 4 READ_HEADER,
+5 READ_PAYLOAD, 6 OUT (reference enum: include/lora/demod.h:41-49).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    DEMOD_SYNC_RECOVERY_COUNT,
+    REQUIRED_PREAMBLE_CHIRPS,
+    LoraConfig,
+)
+from ..core.header import calc_sym_num
+from ..ops.cplx import to_ri
+from ..ops.dechirp import down_peak, up_peak
+
+_RESET, _PREFILL, _DETECT, _SFD, _HEADER, _PAYLOAD, _OUT = range(7)
+
+
+def _fpmod(x, n):
+    """Python-style float modulo (reference: utilities.h:48-51)."""
+    return jnp.mod(jnp.mod(x, n) + n, n)
+
+
+def _pmod(x, n):
+    return jnp.mod(jnp.mod(x, n) + n, n)
+
+
+def _popcount8(x):
+    """Popcount of a uint8-ranged int32."""
+    x = x - ((x >> 1) & 0x55)
+    x = (x & 0x33) + ((x >> 2) & 0x33)
+    return (x + (x >> 4)) & 0x0F
+
+
+def _header_checksum_jnp(length, cr_crc):
+    """5-bit header checksum, scalar bit ops (reference: utilities.h:96-120)."""
+    a = [(length >> (4 + k)) & 1 for k in range(4)]
+    b = [(length >> k) & 1 for k in range(4)]
+    c = [(cr_crc >> k) & 1 for k in range(4)]
+    res = (a[0] ^ a[1] ^ a[2] ^ a[3]) << 4
+    res |= (a[3] ^ b[1] ^ b[2] ^ b[3] ^ c[0]) << 3
+    res |= (a[2] ^ b[0] ^ b[3] ^ c[1] ^ c[3]) << 2
+    res |= (a[1] ^ b[0] ^ b[2] ^ c[0] ^ c[1] ^ c[2]) << 1
+    res |= a[0] ^ b[1] ^ c[0] ^ c[1] ^ c[2] ^ c[3]
+    return res
+
+
+def _dynamic_compensation(symbols, count, cfg: LoraConfig):
+    """LDR bin-drift integrator (reference: demod_impl.cc:263-284).
+
+    symbols: float32[MS]; only the first ``count`` entries are live.
+    Returns uint16[MS] compensated symbols (entries past count are zero).
+    """
+    nsym = float(cfg.num_symbols)
+    modulus = 4.0
+
+    def step(carry, xs):
+        v_last, comp = carry
+        v, i = xs
+        drift = _fpmod(v - v_last, modulus)
+        comp_new = comp - jnp.where(drift < modulus / 2, drift, drift - modulus)
+        if not cfg.ldr:
+            comp_new = jnp.float32(0.0)  # reference zeroes it when !ldr (:280)
+        valid = i < count
+        comp2 = jnp.where(valid, comp_new, comp)
+        v_last2 = jnp.where(valid, v, v_last)
+        out = _pmod(jnp.floor(_fpmod(v + comp2, nsym) + 0.5), nsym)
+        return (v_last2, comp2), out
+
+    ms = symbols.shape[0]
+    (_, _), outs = jax.lax.scan(
+        step, (jnp.float32(1.0), jnp.float32(0.0)),
+        (symbols, jnp.arange(ms, dtype=jnp.int32)))
+    outs = jnp.where(jnp.arange(ms) < count, outs, 0)
+    return outs.astype(jnp.uint16)
+
+
+def _parse_header_jnp(comp8, cfg: LoraConfig):
+    """In-jit explicit-header parse of the 8 compensated header symbols.
+
+    Mirrors decode_impl.cc:299-355 (normalize /4, Gray, deinterleave at
+    ppm=sf-2/rdd=4, Hamming-correct, checksum).  Returns
+    (is_valid, payload_len, cr, crc, packet_symbol_len).
+    """
+    sf = cfg.sf
+    ppm = sf - 2
+    v = (comp8 // 4).astype(jnp.int32)
+    g = v ^ (v >> 1)
+    # Deinterleave: cw[y] bit i = bit ((y - i) mod ppm) of g[i].
+    y = np.arange(ppm)[:, None]
+    i = np.arange(8)[None, :]
+    sh = jnp.asarray((y - i) % ppm, dtype=jnp.int32)
+    bits = (g[None, :] >> sh) & 1
+    cw = jnp.sum(bits << jnp.asarray(i, dtype=jnp.int32), axis=1)
+    # Hamming syndrome correction (decode masks, decode_impl.cc:36-43,197-222).
+    p1 = _popcount8(cw & 0x2E) & 1
+    p2 = _popcount8(cw & 0x4B) & 1
+    p3 = _popcount8(cw & 0x17) & 1
+    syndrome = (p3 << 2) | (p2 << 1) | p1
+    fix_tbl = jnp.asarray(np.array([0, 0, 0, 0x08, 0, 0x04, 0x01, 0x02], np.int32))
+    cw = cw ^ fix_tbl[syndrome]
+    nib = cw & 0xF
+    plen = (nib[0] << 4) | nib[1]
+    crc = nib[2] & 1
+    cr = nib[2] >> 1
+    cks = (nib[3] << 4) | nib[4]
+    valid = cks == _header_checksum_jnp(plen, nib[2] & 0xF)
+    # Packet symbol count (demod_impl.cc:250; explicit header => -5*!h == 0).
+    denom = sf - 2 * int(cfg.ldr)
+    tmp = (2.0 * plen - sf + 7 + 4.0 * crc) / denom
+    psl = 8 + jnp.maximum((4 + cr) * jnp.ceil(tmp).astype(jnp.int32), 0)
+    return valid, plen, cr, crc, psl
+
+
+class _State(NamedTuple):
+    ptr: jnp.ndarray
+    st: jnp.ndarray
+    hist: jnp.ndarray          # int32[REQUIRED_PREAMBLE_CHIRPS]
+    hist_len: jnp.ndarray
+    sync_cnt: jnp.ndarray
+    cfo: jnp.ndarray
+    syms: jnp.ndarray          # float32[MS]
+    sym_cnt: jnp.ndarray
+    pkt_sym_len: jnp.ndarray
+    hdr_received: jnp.ndarray
+    hdr_valid: jnp.ndarray
+    out_syms: jnp.ndarray      # uint16[MP, MS]
+    out_len: jnp.ndarray       # int32[MP]
+    out_cnt: jnp.ndarray
+    it: jnp.ndarray
+
+
+def max_packet_symbols(cfg: LoraConfig) -> int:
+    """Static bound on symbols per packet for buffer sizing."""
+    if not cfg.explicit_header:
+        return calc_sym_num(cfg.payload_len, sf=cfg.sf, cr=cfg.cr, crc=cfg.crc,
+                            ldr=cfg.ldr, explicit_header=False)
+    return max(
+        calc_sym_num(255, sf=cfg.sf, cr=cr, crc=True, ldr=cfg.ldr,
+                     explicit_header=True)
+        for cr in range(1, 5)
+    )
+
+
+@lru_cache(maxsize=None)
+def make_demodulator(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
+    """Build the jitted demodulator for a fixed input length.
+
+    Returns fn(iq_ri float32[num_samples_total, 2]) ->
+    (packets uint16[max_packets, MS], lengths int32[max_packets], count int32).
+    """
+    n = cfg.num_samples
+    k = cfg.bin_size
+    fac = cfg.fft_factor
+    p = cfg.p
+    nsym = cfg.num_symbols
+    ms = max_packet_symbols(cfg)
+    mp = max_packets
+    pad_front = 6 * n          # GR history prefill (demod_impl.cc:130,299-301)
+    lookback = (21 * n) // 4   # 5.25 symbols, CFO re-estimate (demod_impl.cc:486)
+    total = pad_front + num_samples_total + n
+    max_iters = 8 * (total // n) + 64
+
+    drift_max = cfg.preamble_drift_max
+    implicit_psl = 0 if cfg.explicit_header else cfg.packet_symbol_len()
+
+    def body(iq, s: _State):
+        win = jax.lax.dynamic_slice(iq, (s.ptr, 0), (n, 2))
+        midx, mval = up_peak(win, cfg)
+        midx = midx.astype(jnp.int32)
+
+        hist = jnp.concatenate([midx[None], s.hist[:-1]])
+        hist_len = jnp.minimum(s.hist_len + 1, REQUIRED_PREAMBLE_CHIRPS)
+
+        nc = jnp.int32(n)
+        st = s.st
+
+        # ---- S_RESET: clear and go to PREFILL (demod_impl.cc:369-386).
+        do_reset = st == _RESET
+        hist_len = jnp.where(do_reset, 0, hist_len)
+        sync_cnt = jnp.where(do_reset, 0, s.sync_cnt)
+        sym_cnt = jnp.where(do_reset, 0, s.sym_cnt)
+        hdr_received = jnp.where(do_reset, False, s.hdr_received)
+        hdr_valid = jnp.where(do_reset, False, s.hdr_valid)
+        st = jnp.where(do_reset, _PREFILL, st)
+
+        # ---- S_PREFILL (demod_impl.cc:390-401).
+        st = jnp.where((s.st == _PREFILL) & (hist_len >= REQUIRED_PREAMBLE_CHIRPS),
+                       _DETECT, st)
+
+        # ---- S_DETECT_PREAMBLE (demod_impl.cc:406-438).
+        do_det = s.st == _DETECT
+        pre_idx = hist[0]
+        dis = _pmod(pre_idx - hist[1:], k)
+        pre_found = jnp.all((dis <= drift_max) | (dis >= k - drift_max))
+        det_hit = do_det & pre_found
+        nc = jnp.where(det_hit, n - (p * pre_idx) // fac, nc)
+        st = jnp.where(det_hit, _SFD, st)
+
+        # ---- S_SFD_SYNC (demod_impl.cc:444-504).
+        do_sfd = s.st == _SFD
+        bail = do_sfd & (s.sync_cnt > DEMOD_SYNC_RECOVERY_COUNT)
+        sync_cnt = jnp.where(do_sfd, sync_cnt + 1, sync_cnt)
+
+        def sfd_compute(_):
+            didx, dval = down_peak(win, cfg)
+            didx = didx.astype(jnp.int32)
+            detect = dval > mval
+            idx = jnp.where(didx > k // 2, didx - k, didx)
+            nc_f = 2.25 * n + p * idx.astype(jnp.float32) / 2.0 / fac
+            nc_sfd = jnp.floor(nc_f + 0.5).astype(jnp.int32)
+            cfo_start = jnp.maximum(s.ptr + nc_sfd - lookback, 0)
+            cfo_win = jax.lax.dynamic_slice(iq, (cfo_start, 0), (n, 2))
+            cidx, _ = up_peak(cfo_win, cfg)
+            return detect, nc_sfd, cidx.astype(jnp.float32)
+
+        detect, nc_sfd, cfo_new = jax.lax.cond(
+            do_sfd, sfd_compute,
+            lambda _: (jnp.bool_(False), jnp.int32(0), jnp.float32(0.0)),
+            operand=None)
+        nc = jnp.where(detect, nc_sfd, nc)
+        cfo = jnp.where(detect, cfo_new, s.cfo)
+        # Bail sets RESET, but an SFD hit in the same call overrides
+        # (reference has no else between the two, demod_impl.cc:449-501).
+        st = jnp.where(bail & ~detect, _RESET, st)
+        st = jnp.where(detect, _HEADER, st)
+
+        # ---- S_READ_HEADER (demod_impl.cc:508-554).
+        do_hdr = s.st == _HEADER
+        bin_idx = _fpmod((midx.astype(jnp.float32) - cfo) / fac, float(nsym))
+        syms = jnp.where(do_hdr,
+                         s.syms.at[jnp.minimum(sym_cnt, ms - 1)].set(bin_idx),
+                         s.syms)
+        sym_cnt = jnp.where(do_hdr, jnp.minimum(sym_cnt + 1, ms), sym_cnt)
+        pkt_sym_len = s.pkt_sym_len
+
+        if cfg.explicit_header:
+            hdr_trigger = do_hdr & (sym_cnt == 8)
+
+            def parse(_):
+                comp8 = _dynamic_compensation(syms, jnp.int32(8), cfg)[:8]
+                return _parse_header_jnp(comp8.astype(jnp.int32), cfg)
+
+            valid, plen, hcr, hcrc, psl = jax.lax.cond(
+                hdr_trigger, parse,
+                lambda _: (jnp.bool_(False), jnp.int32(0), jnp.int32(0),
+                           jnp.int32(0), jnp.int32(0)),
+                operand=None)
+            hdr_received = hdr_received | hdr_trigger
+            hdr_valid = jnp.where(hdr_trigger, valid, hdr_valid)
+            pkt_sym_len = jnp.where(hdr_trigger & valid, psl, pkt_sym_len)
+
+            go = do_hdr & (sym_cnt > 8) & hdr_received
+            st = jnp.where(go & ~hdr_valid, _RESET, st)
+            st = jnp.where(go & hdr_valid, _PAYLOAD, st)
+        else:
+            pkt_sym_len = jnp.where(do_hdr, implicit_psl, pkt_sym_len)
+            st = jnp.where(do_hdr & (sym_cnt > 8), _PAYLOAD, st)
+
+        # ---- S_READ_PAYLOAD (demod_impl.cc:558-580).
+        do_pay = s.st == _PAYLOAD
+        done = do_pay & (s.sym_cnt >= pkt_sym_len)
+        push = do_pay & ~done
+        syms = jnp.where(push, syms.at[jnp.minimum(sym_cnt, ms - 1)].set(bin_idx), syms)
+        sym_cnt = jnp.where(push, jnp.minimum(sym_cnt + 1, ms), sym_cnt)
+        st = jnp.where(done, _OUT, st)
+
+        # ---- S_OUT (demod_impl.cc:585-607).
+        do_out = s.st == _OUT
+
+        def emit(args):
+            out_syms, out_len, out_cnt = args
+            comp = _dynamic_compensation(syms, sym_cnt, cfg)
+            row = jnp.minimum(out_cnt, mp - 1)
+            keep = out_cnt < mp
+            out_syms = out_syms.at[row].set(jnp.where(keep, comp, out_syms[row]))
+            out_len = out_len.at[row].set(jnp.where(keep, sym_cnt, out_len[row]))
+            return out_syms, out_len, jnp.minimum(out_cnt + 1, mp)
+
+        out_syms, out_len, out_cnt = jax.lax.cond(
+            do_out, emit, lambda a: a, (s.out_syms, s.out_len, s.out_cnt))
+        st = jnp.where(do_out, _RESET, st)
+
+        return _State(
+            ptr=s.ptr + nc, st=st, hist=hist, hist_len=hist_len,
+            sync_cnt=sync_cnt, cfo=cfo, syms=syms, sym_cnt=sym_cnt,
+            pkt_sym_len=pkt_sym_len, hdr_received=hdr_received,
+            hdr_valid=hdr_valid, out_syms=out_syms, out_len=out_len,
+            out_cnt=out_cnt, it=s.it + 1)
+
+    def run(iq_ri):
+        iq = jnp.concatenate([
+            jnp.zeros((pad_front, 2), jnp.float32),
+            iq_ri.astype(jnp.float32),
+            jnp.zeros((n, 2), jnp.float32),
+        ])
+        init = _State(
+            ptr=jnp.int32(pad_front), st=jnp.int32(_RESET),
+            hist=jnp.zeros(REQUIRED_PREAMBLE_CHIRPS, jnp.int32),
+            hist_len=jnp.int32(0), sync_cnt=jnp.int32(0),
+            cfo=jnp.float32(0.0), syms=jnp.zeros(ms, jnp.float32),
+            sym_cnt=jnp.int32(0), pkt_sym_len=jnp.int32(implicit_psl),
+            hdr_received=jnp.bool_(False), hdr_valid=jnp.bool_(False),
+            out_syms=jnp.zeros((mp, ms), jnp.uint16),
+            out_len=jnp.zeros(mp, jnp.int32), out_cnt=jnp.int32(0),
+            it=jnp.int32(0))
+
+        def cond(s: _State):
+            return (s.ptr + n <= iq.shape[0]) & (s.it < max_iters)
+
+        final = jax.lax.while_loop(cond, partial(body, iq), init)
+        return final.out_syms, final.out_len, final.out_cnt
+
+    return jax.jit(run)
+
+
+def demodulate(iq, cfg: LoraConfig, max_packets: int = 8):
+    """Convenience host API: complex64 (or [T,2] float32) IQ -> list of
+    uint16 symbol arrays, one per detected packet."""
+    if np.iscomplexobj(iq):
+        iq = to_ri(np.asarray(iq))
+    iq = np.asarray(iq, dtype=np.float32)
+    fn = make_demodulator(cfg, iq.shape[0], max_packets)
+    out_syms, out_len, out_cnt = jax.device_get(fn(iq))
+    return [out_syms[i, :out_len[i]].copy() for i in range(int(out_cnt))]
