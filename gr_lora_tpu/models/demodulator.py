@@ -141,17 +141,27 @@ class _State(NamedTuple):
     pkt_sym_len: jnp.ndarray
     hdr_received: jnp.ndarray
     hdr_valid: jnp.ndarray
+    pkt_start: jnp.ndarray     # sample index of preamble detection
     out_syms: jnp.ndarray      # uint16[MP, MS]
     out_len: jnp.ndarray       # int32[MP]
+    out_pos: jnp.ndarray       # int32[MP] packet start (input-relative)
     out_cnt: jnp.ndarray
     it: jnp.ndarray
 
 
 def max_packet_symbols(cfg: LoraConfig) -> int:
-    """Static bound on symbols per packet for buffer sizing."""
+    """Static bound on symbols per packet for buffer sizing.
+
+    At least 9: the FSM (like the reference, demod_impl.cc:531-553) pushes a
+    9th symbol while still in S_READ_HEADER before it can transition, so even
+    an 8-symbol packet emits 9 symbols.
+    """
     if not cfg.explicit_header:
-        return calc_sym_num(cfg.payload_len, sf=cfg.sf, cr=cfg.cr, crc=cfg.crc,
-                            ldr=cfg.ldr, explicit_header=False)
+        return max(
+            calc_sym_num(cfg.payload_len, sf=cfg.sf, cr=cfg.cr, crc=cfg.crc,
+                         ldr=cfg.ldr, explicit_header=False),
+            9,
+        )
     return max(
         calc_sym_num(255, sf=cfg.sf, cr=cr, crc=True, ldr=cfg.ldr,
                      explicit_header=True)
@@ -160,11 +170,14 @@ def max_packet_symbols(cfg: LoraConfig) -> int:
 
 
 @lru_cache(maxsize=None)
-def make_demodulator(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
-    """Build the jitted demodulator for a fixed input length.
+def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
+    """Build the pure (unjitted) demodulator for a fixed input length —
+    composable inside vmap/shard_map; see make_demodulator for the jitted
+    single-stream wrapper.
 
     Returns fn(iq_ri float32[num_samples_total, 2]) ->
-    (packets uint16[max_packets, MS], lengths int32[max_packets], count int32).
+    (packets uint16[max_packets, MS], lengths int32[max_packets],
+     positions int32[max_packets], count int32).
     """
     n = cfg.num_samples
     k = cfg.bin_size
@@ -209,10 +222,13 @@ def make_demodulator(cfg: LoraConfig, num_samples_total: int, max_packets: int =
         do_det = s.st == _DETECT
         pre_idx = hist[0]
         dis = _pmod(pre_idx - hist[1:], k)
-        pre_found = jnp.all((dis <= drift_max) | (dis >= k - drift_max))
+        # mval > 0 gates out exactly-zero windows (halo padding); real noise
+        # always has a positive peak, so this is a no-op on captures.
+        pre_found = jnp.all((dis <= drift_max) | (dis >= k - drift_max)) & (mval > 0)
         det_hit = do_det & pre_found
         nc = jnp.where(det_hit, n - (p * pre_idx) // fac, nc)
         st = jnp.where(det_hit, _SFD, st)
+        pkt_start = jnp.where(det_hit, s.ptr, s.pkt_start)
 
         # ---- S_SFD_SYNC (demod_impl.cc:444-504).
         do_sfd = s.st == _SFD
@@ -286,23 +302,27 @@ def make_demodulator(cfg: LoraConfig, num_samples_total: int, max_packets: int =
         do_out = s.st == _OUT
 
         def emit(args):
-            out_syms, out_len, out_cnt = args
+            out_syms, out_len, out_pos, out_cnt = args
             comp = _dynamic_compensation(syms, sym_cnt, cfg)
             row = jnp.minimum(out_cnt, mp - 1)
             keep = out_cnt < mp
             out_syms = out_syms.at[row].set(jnp.where(keep, comp, out_syms[row]))
             out_len = out_len.at[row].set(jnp.where(keep, sym_cnt, out_len[row]))
-            return out_syms, out_len, jnp.minimum(out_cnt + 1, mp)
+            out_pos = out_pos.at[row].set(
+                jnp.where(keep, pkt_start - pad_front, out_pos[row]))
+            return out_syms, out_len, out_pos, jnp.minimum(out_cnt + 1, mp)
 
-        out_syms, out_len, out_cnt = jax.lax.cond(
-            do_out, emit, lambda a: a, (s.out_syms, s.out_len, s.out_cnt))
+        out_syms, out_len, out_pos, out_cnt = jax.lax.cond(
+            do_out, emit, lambda a: a,
+            (s.out_syms, s.out_len, s.out_pos, s.out_cnt))
         st = jnp.where(do_out, _RESET, st)
 
         return _State(
             ptr=s.ptr + nc, st=st, hist=hist, hist_len=hist_len,
             sync_cnt=sync_cnt, cfo=cfo, syms=syms, sym_cnt=sym_cnt,
             pkt_sym_len=pkt_sym_len, hdr_received=hdr_received,
-            hdr_valid=hdr_valid, out_syms=out_syms, out_len=out_len,
+            hdr_valid=hdr_valid, pkt_start=pkt_start,
+            out_syms=out_syms, out_len=out_len, out_pos=out_pos,
             out_cnt=out_cnt, it=s.it + 1)
 
     def run(iq_ri):
@@ -318,17 +338,35 @@ def make_demodulator(cfg: LoraConfig, num_samples_total: int, max_packets: int =
             cfo=jnp.float32(0.0), syms=jnp.zeros(ms, jnp.float32),
             sym_cnt=jnp.int32(0), pkt_sym_len=jnp.int32(implicit_psl),
             hdr_received=jnp.bool_(False), hdr_valid=jnp.bool_(False),
+            pkt_start=jnp.int32(0),
             out_syms=jnp.zeros((mp, ms), jnp.uint16),
-            out_len=jnp.zeros(mp, jnp.int32), out_cnt=jnp.int32(0),
+            out_len=jnp.zeros(mp, jnp.int32),
+            out_pos=jnp.full(mp, -1, jnp.int32), out_cnt=jnp.int32(0),
             it=jnp.int32(0))
 
         def cond(s: _State):
             return (s.ptr + n <= iq.shape[0]) & (s.it < max_iters)
 
         final = jax.lax.while_loop(cond, partial(body, iq), init)
-        return final.out_syms, final.out_len, final.out_cnt
+        if _DEBUG_FINAL_STATE:
+            return final
+        return final.out_syms, final.out_len, final.out_pos, final.out_cnt
 
-    return jax.jit(run)
+    return run
+
+
+_DEBUG_FINAL_STATE = False
+
+
+@lru_cache(maxsize=None)
+def make_demodulator(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
+    """Jitted demodulator for a fixed input length.
+
+    Returns fn(iq_ri float32[num_samples_total, 2]) ->
+    (packets uint16[max_packets, MS], lengths int32[max_packets],
+     positions int32[max_packets], count int32).
+    """
+    return jax.jit(demod_fn(cfg, num_samples_total, max_packets))
 
 
 def demodulate(iq, cfg: LoraConfig, max_packets: int = 8):
@@ -338,5 +376,5 @@ def demodulate(iq, cfg: LoraConfig, max_packets: int = 8):
         iq = to_ri(np.asarray(iq))
     iq = np.asarray(iq, dtype=np.float32)
     fn = make_demodulator(cfg, iq.shape[0], max_packets)
-    out_syms, out_len, out_cnt = jax.device_get(fn(iq))
+    out_syms, out_len, _, out_cnt = jax.device_get(fn(iq))
     return [out_syms[i, :out_len[i]].copy() for i in range(int(out_cnt))]
