@@ -141,10 +141,11 @@ class _State(NamedTuple):
     pkt_sym_len: jnp.ndarray
     hdr_received: jnp.ndarray
     hdr_valid: jnp.ndarray
-    pkt_start: jnp.ndarray     # sample index of preamble detection
+    pkt_start: jnp.ndarray     # sample index of preamble detection (buffer-local)
+    base: jnp.ndarray          # global stream index of buffer sample 0
     out_syms: jnp.ndarray      # uint16[MP, MS]
     out_len: jnp.ndarray       # int32[MP]
-    out_pos: jnp.ndarray       # int32[MP] packet start (input-relative)
+    out_pos: jnp.ndarray       # int32[MP] packet start (global stream index)
     out_cnt: jnp.ndarray
     it: jnp.ndarray
 
@@ -170,15 +171,9 @@ def max_packet_symbols(cfg: LoraConfig) -> int:
 
 
 @lru_cache(maxsize=None)
-def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
-    """Build the pure (unjitted) demodulator for a fixed input length —
-    composable inside vmap/shard_map; see make_demodulator for the jitted
-    single-stream wrapper.
-
-    Returns fn(iq_ri float32[num_samples_total, 2]) ->
-    (packets uint16[max_packets, MS], lengths int32[max_packets],
-     positions int32[max_packets], count int32).
-    """
+def _machine(cfg: LoraConfig, max_packets: int):
+    """The demod FSM transition function, shared by the whole-buffer and
+    streaming drivers.  Returns (body, init_state)."""
     n = cfg.num_samples
     k = cfg.bin_size
     fac = cfg.fft_factor
@@ -186,13 +181,24 @@ def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
     nsym = cfg.num_symbols
     ms = max_packet_symbols(cfg)
     mp = max_packets
-    pad_front = 6 * n          # GR history prefill (demod_impl.cc:130,299-301)
     lookback = (21 * n) // 4   # 5.25 symbols, CFO re-estimate (demod_impl.cc:486)
-    total = pad_front + num_samples_total + n
-    max_iters = 8 * (total // n) + 64
 
     drift_max = cfg.preamble_drift_max
     implicit_psl = 0 if cfg.explicit_header else cfg.packet_symbol_len()
+
+    def init_state(base: int, ptr: int) -> _State:
+        return _State(
+            ptr=jnp.int32(ptr), st=jnp.int32(_RESET),
+            hist=jnp.zeros(REQUIRED_PREAMBLE_CHIRPS, jnp.int32),
+            hist_len=jnp.int32(0), sync_cnt=jnp.int32(0),
+            cfo=jnp.float32(0.0), syms=jnp.zeros(ms, jnp.float32),
+            sym_cnt=jnp.int32(0), pkt_sym_len=jnp.int32(implicit_psl),
+            hdr_received=jnp.bool_(False), hdr_valid=jnp.bool_(False),
+            pkt_start=jnp.int32(0), base=jnp.int32(base),
+            out_syms=jnp.zeros((mp, ms), jnp.uint16),
+            out_len=jnp.zeros(mp, jnp.int32),
+            out_pos=jnp.full(mp, -1, jnp.int32), out_cnt=jnp.int32(0),
+            it=jnp.int32(0))
 
     def body(iq, s: _State):
         win = jax.lax.dynamic_slice(iq, (s.ptr, 0), (n, 2))
@@ -309,7 +315,7 @@ def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
             out_syms = out_syms.at[row].set(jnp.where(keep, comp, out_syms[row]))
             out_len = out_len.at[row].set(jnp.where(keep, sym_cnt, out_len[row]))
             out_pos = out_pos.at[row].set(
-                jnp.where(keep, pkt_start - pad_front, out_pos[row]))
+                jnp.where(keep, pkt_start + s.base, out_pos[row]))
             return out_syms, out_len, out_pos, jnp.minimum(out_cnt + 1, mp)
 
         out_syms, out_len, out_pos, out_cnt = jax.lax.cond(
@@ -321,9 +327,28 @@ def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
             ptr=s.ptr + nc, st=st, hist=hist, hist_len=hist_len,
             sync_cnt=sync_cnt, cfo=cfo, syms=syms, sym_cnt=sym_cnt,
             pkt_sym_len=pkt_sym_len, hdr_received=hdr_received,
-            hdr_valid=hdr_valid, pkt_start=pkt_start,
+            hdr_valid=hdr_valid, pkt_start=pkt_start, base=s.base,
             out_syms=out_syms, out_len=out_len, out_pos=out_pos,
             out_cnt=out_cnt, it=s.it + 1)
+
+    return body, init_state
+
+
+@lru_cache(maxsize=None)
+def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
+    """Build the pure (unjitted) demodulator for a fixed input length —
+    composable inside vmap/shard_map; see make_demodulator for the jitted
+    single-stream wrapper.
+
+    Returns fn(iq_ri float32[num_samples_total, 2]) ->
+    (packets uint16[max_packets, MS], lengths int32[max_packets],
+     positions int32[max_packets], count int32).
+    """
+    n = cfg.num_samples
+    body, init_state = _machine(cfg, max_packets)
+    pad_front = 6 * n          # GR history prefill (demod_impl.cc:130,299-301)
+    total = pad_front + num_samples_total + n
+    max_iters = 8 * (total // n) + 64
 
     def run(iq_ri):
         iq = jnp.concatenate([
@@ -331,18 +356,7 @@ def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
             iq_ri.astype(jnp.float32),
             jnp.zeros((n, 2), jnp.float32),
         ])
-        init = _State(
-            ptr=jnp.int32(pad_front), st=jnp.int32(_RESET),
-            hist=jnp.zeros(REQUIRED_PREAMBLE_CHIRPS, jnp.int32),
-            hist_len=jnp.int32(0), sync_cnt=jnp.int32(0),
-            cfo=jnp.float32(0.0), syms=jnp.zeros(ms, jnp.float32),
-            sym_cnt=jnp.int32(0), pkt_sym_len=jnp.int32(implicit_psl),
-            hdr_received=jnp.bool_(False), hdr_valid=jnp.bool_(False),
-            pkt_start=jnp.int32(0),
-            out_syms=jnp.zeros((mp, ms), jnp.uint16),
-            out_len=jnp.zeros(mp, jnp.int32),
-            out_pos=jnp.full(mp, -1, jnp.int32), out_cnt=jnp.int32(0),
-            it=jnp.int32(0))
+        init = init_state(base=-pad_front, ptr=pad_front)
 
         def cond(s: _State):
             return (s.ptr + n <= iq.shape[0]) & (s.it < max_iters)
@@ -356,6 +370,110 @@ def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
 
 
 _DEBUG_FINAL_STATE = False
+
+
+# ---------------------------------------------------------------------------
+# Streaming driver: carried FSM state across fixed-size blocks.
+# ---------------------------------------------------------------------------
+
+def stream_tail_len(cfg: LoraConfig) -> int:
+    """Carried history per block: covers the 5.25-symbol CFO lookback, the
+    current symbol window, and slack — the GR ``set_history`` analog
+    (demod_impl.cc:130)."""
+    return 8 * cfg.num_samples
+
+
+@lru_cache(maxsize=None)
+def demod_stream_fn(cfg: LoraConfig, block_len: int, max_packets: int = 8):
+    """Streaming demodulator: process the unbounded IQ stream in fixed
+    ``block_len`` chunks with all FSM state (including partially received
+    packets) carried between calls.
+
+    Returns (step, init) where
+    ``step(carry, block float32[block_len, 2]) -> (carry, outs)`` and outs is
+    (packets, lengths, positions, count) for packets *completed during this
+    block* (positions are global stream sample indices).
+    """
+    n = cfg.num_samples
+    tail_len = stream_tail_len(cfg)
+    if block_len < n:
+        raise ValueError(f"block_len must be >= one symbol ({n})")
+    body, init_state = _machine(cfg, max_packets)
+    buf_len = tail_len + block_len
+    max_iters = 8 * (buf_len // n) + 64
+    mp = max_packets
+
+    def init():
+        s = init_state(base=-tail_len, ptr=tail_len)
+        tail = jnp.zeros((tail_len, 2), jnp.float32)
+        return s, tail
+
+    def step(carry, block):
+        s, tail = carry
+        iq = jnp.concatenate([tail, block.astype(jnp.float32)])
+        # Fresh per-block output slots and iteration budget.
+        s = s._replace(out_syms=jnp.zeros_like(s.out_syms),
+                       out_len=jnp.zeros_like(s.out_len),
+                       out_pos=jnp.full(mp, -1, jnp.int32),
+                       out_cnt=jnp.int32(0), it=jnp.int32(0))
+
+        def cond(st: _State):
+            return (st.ptr + n <= buf_len) & (st.it < max_iters)
+
+        final = jax.lax.while_loop(cond, partial(body, iq), s)
+        outs = (final.out_syms, final.out_len, final.out_pos, final.out_cnt)
+        # Re-anchor coordinates for the next block: its buffer starts at the
+        # current buffer's sample ``block_len``.
+        shift = jnp.int32(block_len)
+        final = final._replace(ptr=final.ptr - shift,
+                               pkt_start=final.pkt_start - shift,
+                               base=final.base + shift)
+        new_tail = iq[-tail_len:]
+        return (final, new_tail), outs
+
+    return step, init
+
+
+class StreamingDemodulator:
+    """Host-facing stateful wrapper: feed arbitrary chunks, collect packets.
+
+    The TPU-side step is jitted once per block size; partial packets survive
+    chunk boundaries because the whole FSM state is carried, so no overlap
+    re-processing is needed (unlike overlap-save batch mode)."""
+
+    def __init__(self, cfg: LoraConfig, block_len: int | None = None,
+                 max_packets: int = 8):
+        self.cfg = cfg
+        self.block_len = block_len or 64 * cfg.num_samples
+        step, init = demod_stream_fn(cfg, self.block_len, max_packets)
+        self._step = jax.jit(step)
+        self._carry = init()
+        self._pending = np.zeros((0, 2), np.float32)
+
+    def feed(self, iq) -> list[tuple[int, np.ndarray]]:
+        """Consume IQ (complex or [T, 2] float32); returns completed packets
+        as (global_position, symbols) tuples."""
+        if np.iscomplexobj(iq):
+            iq = to_ri(np.asarray(iq))
+        buf = np.concatenate([self._pending,
+                              np.asarray(iq, np.float32).reshape(-1, 2)])
+        out: list[tuple[int, np.ndarray]] = []
+        nfull = buf.shape[0] // self.block_len
+        for b in range(nfull):
+            block = buf[b * self.block_len:(b + 1) * self.block_len]
+            self._carry, outs = self._step(self._carry, block)
+            syms, lens, pos, cnt = (np.asarray(x) for x in jax.device_get(outs))
+            for r in range(int(cnt)):
+                out.append((int(pos[r]), syms[r, :lens[r]].copy()))
+        self._pending = buf[nfull * self.block_len:]
+        return out
+
+    def flush(self) -> list[tuple[int, np.ndarray]]:
+        """Pad the residue with silence and drain in-flight packets."""
+        drain = self.block_len + 2 * stream_tail_len(self.cfg)
+        pad = (-(self._pending.shape[0] + drain)) % self.block_len
+        silence = np.zeros((drain + pad, 2), np.float32)
+        return self.feed(silence)
 
 
 @lru_cache(maxsize=None)
