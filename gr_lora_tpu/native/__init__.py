@@ -1,0 +1,204 @@
+"""ctypes bindings for the native host library (native/liblora_host.so).
+
+Builds the library on first use if a C++ toolchain is present; all callers
+must handle ``available() == False`` (pure-Python fallbacks live in
+gr_lora_tpu.core).  The native codec is the packet-rate fast path for
+gateway-scale deployments; the SPSC ring buffer backs streaming ingest.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..config import LoraConfig
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "liblora_host.so"
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+class LoraParams(ctypes.Structure):
+    _fields_ = [
+        ("sf", ctypes.c_int32), ("cr", ctypes.c_int32),
+        ("crc", ctypes.c_int32), ("ldr", ctypes.c_int32),
+        ("explicit_header", ctypes.c_int32), ("payload_len", ctypes.c_int32),
+    ]
+
+    @classmethod
+    def from_config(cls, cfg: LoraConfig) -> "LoraParams":
+        return cls(cfg.sf, cfg.cr, int(cfg.crc), int(cfg.ldr),
+                   int(cfg.explicit_header), cfg.payload_len)
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=300)
+        return _LIB_PATH.exists()
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() and os.environ.get(
+                "GR_LORA_TPU_NO_NATIVE_BUILD") != "1":
+            if not _build():
+                return None
+        if not _LIB_PATH.exists():
+            return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        pp = ctypes.POINTER(LoraParams)
+        lib.lora_calc_sym_num.restype = ctypes.c_int32
+        lib.lora_calc_sym_num.argtypes = [pp, ctypes.c_int32]
+        lib.lora_encode.restype = ctypes.c_int32
+        lib.lora_encode.argtypes = [pp, u8p, ctypes.c_int32, u16p,
+                                    ctypes.c_int32]
+        lib.lora_decode.restype = ctypes.c_int32
+        lib.lora_decode.argtypes = [pp, u16p, ctypes.c_int32, u8p,
+                                    ctypes.c_int32, i32p, i32p, i32p, i32p,
+                                    i32p]
+        lib.lora_data_checksum.restype = ctypes.c_uint16
+        lib.lora_data_checksum.argtypes = [u8p, ctypes.c_int32]
+        lib.lora_header_checksum.restype = ctypes.c_uint8
+        lib.lora_header_checksum.argtypes = [ctypes.c_uint8, ctypes.c_uint8]
+        lib.lora_whitening_sequence.restype = None
+        lib.lora_whitening_sequence.argtypes = [u8p]
+        lib.lora_ring_create.restype = ctypes.c_void_p
+        lib.lora_ring_create.argtypes = [ctypes.c_size_t]
+        lib.lora_ring_destroy.argtypes = [ctypes.c_void_p]
+        for f in ("lora_ring_capacity", "lora_ring_readable",
+                  "lora_ring_writable"):
+            getattr(lib, f).restype = ctypes.c_size_t
+            getattr(lib, f).argtypes = [ctypes.c_void_p]
+        for f in ("lora_ring_write", "lora_ring_read", "lora_ring_peek"):
+            getattr(lib, f).restype = ctypes.c_size_t
+            getattr(lib, f).argtypes = [ctypes.c_void_p, u8p, ctypes.c_size_t]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def encode(payload: bytes, cfg: LoraConfig) -> np.ndarray:
+    """Native payload -> symbols; bit-exact with core.codec.encode."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    prm = LoraParams.from_config(cfg)
+    data = np.frombuffer(bytes(payload), dtype=np.uint8)
+    cap = lib.lora_calc_sym_num(ctypes.byref(prm), len(data)) + 16
+    out = np.zeros(cap, dtype=np.uint16)
+    n = lib.lora_encode(
+        ctypes.byref(prm),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), cap)
+    assert n >= 0, f"lora_encode failed: {n}"
+    return out[:n].copy()
+
+
+def decode(symbols: np.ndarray, cfg: LoraConfig):
+    """Native symbols -> (bytes, hdr dict | None, crc_ok | None, ok)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    prm = LoraParams.from_config(cfg)
+    syms = np.ascontiguousarray(symbols, dtype=np.uint16)
+    cap = 1024
+    out = np.zeros(cap, dtype=np.uint8)
+    hv, hl, hc, hk, ck = (ctypes.c_int32(-1) for _ in range(5))
+    n = lib.lora_decode(
+        ctypes.byref(prm),
+        syms.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), len(syms),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        ctypes.byref(hv), ctypes.byref(hl), ctypes.byref(hc),
+        ctypes.byref(hk), ctypes.byref(ck))
+    header = None
+    if cfg.explicit_header:
+        header = dict(is_valid=bool(hv.value), payload_len=hl.value,
+                      cr=hc.value, crc=bool(hk.value))
+    if n < 0:
+        return np.zeros(0, np.uint8), header, None, False
+    crc_ok = None if ck.value < 0 else bool(ck.value)
+    return out[:n].copy(), header, crc_ok, True
+
+
+def data_checksum(data: bytes) -> int:
+    lib = _load()
+    assert lib is not None
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    return int(lib.lora_data_checksum(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(arr)))
+
+
+def whitening_sequence() -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    out = np.zeros(255, dtype=np.uint8)
+    lib.lora_whitening_sequence(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+class RingBuffer:
+    """SPSC byte ring buffer (GR stream-buffer analog), native-backed."""
+
+    def __init__(self, capacity: int):
+        lib = _load()
+        assert lib is not None, "native library unavailable"
+        self._lib = lib
+        self._h = lib.lora_ring_create(capacity)
+        if not self._h:
+            raise MemoryError("lora_ring_create failed")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.lora_ring_destroy(h)
+            self._h = None
+
+    @property
+    def capacity(self) -> int:
+        return self._lib.lora_ring_capacity(self._h)
+
+    @property
+    def readable(self) -> int:
+        return self._lib.lora_ring_readable(self._h)
+
+    @property
+    def writable(self) -> int:
+        return self._lib.lora_ring_writable(self._h)
+
+    def _u8(self, arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def write(self, data) -> int:
+        arr = np.ascontiguousarray(np.frombuffer(bytes(data), np.uint8)) \
+            if isinstance(data, (bytes, bytearray)) \
+            else np.ascontiguousarray(data, np.uint8).reshape(-1)
+        return self._lib.lora_ring_write(self._h, self._u8(arr), arr.nbytes)
+
+    def read(self, n: int) -> np.ndarray:
+        out = np.zeros(n, np.uint8)
+        got = self._lib.lora_ring_read(self._h, self._u8(out), n)
+        return out[:got]
+
+    def peek(self, n: int) -> np.ndarray:
+        out = np.zeros(n, np.uint8)
+        got = self._lib.lora_ring_peek(self._h, self._u8(out), n)
+        return out[:got]

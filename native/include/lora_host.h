@@ -1,0 +1,74 @@
+/* C API of the native host-side runtime for gr_lora_tpu.
+ *
+ * The TPU (JAX/XLA) owns the signal-processing compute; this library owns
+ * the packet-rate host paths around it, mirroring what the reference keeps
+ * in C++ (bit-level codec: encode_impl.cc/decode_impl.cc; stream buffering:
+ * the GNU Radio runtime's ring buffers).  Exposed as a flat C ABI for
+ * ctypes binding.
+ */
+
+#ifndef GR_LORA_TPU_LORA_HOST_H
+#define GR_LORA_TPU_LORA_HOST_H
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct {
+  int32_t sf;              /* 6..12 */
+  int32_t cr;              /* 1..4 */
+  int32_t crc;             /* bool */
+  int32_t ldr;             /* bool */
+  int32_t explicit_header; /* bool */
+  int32_t payload_len;     /* implicit-header payload bytes */
+} lora_params;
+
+/* Total symbols per packet incl. the 8 header symbols
+ * (reference: encode_impl.cc:107-112). */
+int32_t lora_calc_sym_num(const lora_params* prm, int32_t payload_len);
+
+/* payload -> chirp-bin symbols.  Returns symbol count, or -1 on bad args,
+ * -2 if out_cap is too small. */
+int32_t lora_encode(const lora_params* prm, const uint8_t* payload,
+                    int32_t payload_len, uint16_t* out_syms, int32_t out_cap);
+
+/* chirp-bin symbols -> bytes (header bytes + payload + CRC bytes + 1
+ * pass/fail byte, exactly the reference PDU, decode_impl.cc:406-413).
+ * Returns byte count; -1 invalid header, -2 short packet, -3 out_cap too
+ * small.  hdr_* and crc_ok may be NULL. */
+int32_t lora_decode(const lora_params* prm, const uint16_t* syms,
+                    int32_t nsym, uint8_t* out, int32_t out_cap,
+                    int32_t* hdr_valid, int32_t* hdr_payload_len,
+                    int32_t* hdr_cr, int32_t* hdr_crc, int32_t* crc_ok);
+
+/* CRC16 with the reference's XOR-last-two-bytes quirk (utilities.h:74-94). */
+uint16_t lora_data_checksum(const uint8_t* data, int32_t len);
+
+/* 5-bit explicit-header checksum (utilities.h:96-120). */
+uint8_t lora_header_checksum(uint8_t payload_len, uint8_t cr_crc);
+
+/* The 255-byte whitening sequence (lora.h:29-30); dst must hold 255. */
+void lora_whitening_sequence(uint8_t* dst);
+
+/* ---- SPSC lock-free ring buffer (GR stream-buffer analog). ---- */
+typedef struct lora_ring lora_ring;
+
+lora_ring* lora_ring_create(size_t capacity_bytes);
+void lora_ring_destroy(lora_ring* rb);
+size_t lora_ring_capacity(const lora_ring* rb);
+size_t lora_ring_readable(const lora_ring* rb);
+size_t lora_ring_writable(const lora_ring* rb);
+/* Both return the number of bytes actually moved (partial on full/empty). */
+size_t lora_ring_write(lora_ring* rb, const uint8_t* data, size_t n);
+size_t lora_ring_read(lora_ring* rb, uint8_t* out, size_t n);
+/* Copy without consuming (for overlap-save history windows). */
+size_t lora_ring_peek(const lora_ring* rb, uint8_t* out, size_t n);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* GR_LORA_TPU_LORA_HOST_H */
