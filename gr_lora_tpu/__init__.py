@@ -11,4 +11,13 @@ factors and sharded over TPU device meshes.
 from .config import LoraConfig, PeakSearch
 
 __version__ = "0.1.0"
-__all__ = ["LoraConfig", "PeakSearch", "__version__"]
+__all__ = ["LoraConfig", "PeakSearch", "blocks", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy: the block-style API pulls in model modules on first touch.
+    # (importlib, not `from . import`, to avoid __getattr__ recursion.)
+    if name in ("blocks", "native"):
+        import importlib
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

@@ -475,6 +475,22 @@ class StreamingDemodulator:
         silence = np.zeros((drain + pad, 2), np.float32)
         return self.feed(silence)
 
+    # -- checkpoint/resume: the FSM state is an explicit pytree, so resuming
+    #    from any block boundary is a pure array save/restore (the reference
+    #    has no equivalent; SURVEY.md §5 "Checkpoint/resume").
+    def state_dict(self) -> dict:
+        leaves, _ = jax.tree.flatten(self._carry)
+        d = {f"carry_{i}": np.asarray(jax.device_get(x))
+             for i, x in enumerate(leaves)}
+        d["pending"] = self._pending.copy()
+        return d
+
+    def load_state_dict(self, d: dict) -> None:
+        leaves, treedef = jax.tree.flatten(self._carry)
+        new = [jnp.asarray(d[f"carry_{i}"]) for i in range(len(leaves))]
+        self._carry = jax.tree.unflatten(treedef, new)
+        self._pending = np.asarray(d["pending"], np.float32).copy()
+
 
 @lru_cache(maxsize=None)
 def make_demodulator(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
