@@ -79,6 +79,13 @@ def main():
     ap.add_argument("--fft-factor", type=int, default=2)
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--precision", choices=["highest", "default", "bf16"],
+                    default="highest")
+    ap.add_argument("--mode", choices=["pyramid", "gateway"],
+                    default="pyramid",
+                    help="pyramid: dense collision front-end; gateway: "
+                         "vmapped demod FSM over many channels")
+    ap.add_argument("--channels", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -87,9 +94,13 @@ def main():
 
     cfg = LoraConfig(sf=args.sf, cr=1, crc=True, ldr=False,
                      explicit_header=False, payload_len=6,
-                     p=args.p, fft_factor=args.fft_factor)
+                     p=args.p, fft_factor=args.fft_factor,
+                     precision=args.precision)
     num_frames = args.frames or (256 if args.quick else 16384)
     iters = args.iters or (2 if args.quick else 20)
+
+    if args.mode == "gateway":
+        return bench_gateway(cfg, args)
 
     iq, hop, total = build_inputs(cfg, num_frames)
     step = make_step(cfg, num_frames, hop)
@@ -116,8 +127,59 @@ def main():
     }))
     dev = jax.devices()[0]
     print(f"# device={dev.device_kind} sf={cfg.sf} p={cfg.p} "
+          f"precision={cfg.precision} "
           f"fft_factor={cfg.fft_factor} frames/iter={num_frames} hop={hop} "
           f"iters={iters} wall={dt:.3f}s", file=sys.stderr)
+
+
+def bench_gateway(cfg, args):
+    """Channel-parallel full demod-FSM throughput: C channels, each with
+    real packets, vmapped over the batch axis on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from gr_lora_tpu.core.codec import encode
+    from gr_lora_tpu.models.demodulator import demod_fn
+    from gr_lora_tpu.models.modulator import modulate
+    from gr_lora_tpu.ops.cplx import to_ri
+
+    n = cfg.num_samples
+    channels = args.channels
+    num_syms = 96 if args.quick else 1024
+    total = num_syms * n
+    iters = args.iters or (2 if args.quick else 10)
+
+    rng = np.random.default_rng(0)
+    pkt = to_ri(modulate(encode(bytes(range(1, 7)), cfg), cfg,
+                         pad_front=0, pad_back=0))
+    iq = rng.normal(0.0, 0.05, (channels, total, 2)).astype(np.float32)
+    for c in range(channels):
+        off = int(rng.integers(0, max(total - len(pkt), 1)))
+        iq[c, off:off + len(pkt)] += pkt
+    iq = jnp.asarray(iq)
+
+    fn = jax.jit(jax.vmap(demod_fn(cfg, total, 4)))
+    jax.device_get(fn(iq))
+    jax.device_get(fn(iq))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(iq)
+    jax.device_get(out)
+    dt = time.perf_counter() - t0
+
+    sps = channels * total * iters / dt
+    baseline_sps = 2 * 125e3
+    print(json.dumps({
+        "metric": "gateway_demod_fsm_throughput",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / baseline_sps, 2),
+    }))
+    dev = jax.devices()[0]
+    print(f"# device={dev.device_kind} mode=gateway channels={channels} "
+          f"sf={cfg.sf} p={cfg.p} precision={cfg.precision} "
+          f"fft_factor={cfg.fft_factor} total={total} iters={iters} "
+          f"wall={dt:.3f}s", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -70,6 +70,10 @@ class LoraConfig:
     peak_phase_k: int = 4        # k for PeakSearch.PHASE
     threshold: float = 0.005     # pyramid peak threshold
     weak_sym_num: int = 24       # weak demod: known symbol count per packet
+    precision: str = "highest"   # zoom-DFT matmul precision:
+                                 #   "highest" (f32, bit-stable peaks),
+                                 #   "default" (XLA default),
+                                 #   "bf16" (full-rate MXU, f32 accumulate)
 
     def __post_init__(self):
         if not (6 <= self.sf <= 12):
@@ -80,6 +84,8 @@ class LoraConfig:
             raise ValueError("SF6 does not support explicit header mode")
         if self.p < 1 or self.fft_factor < 1:
             raise ValueError("p and fft_factor must be >= 1")
+        if self.precision not in ("highest", "default", "bf16"):
+            raise ValueError(f"unknown precision {self.precision!r}")
 
     # Derived sizes (reference: demod_impl.cc:112-119).
     @property

@@ -42,9 +42,21 @@ def cmag2(a: jnp.ndarray) -> jnp.ndarray:
 
 
 def cmatmul(x: jnp.ndarray, w_re: jnp.ndarray, w_im: jnp.ndarray,
-            precision=None) -> jnp.ndarray:
-    """[..., N, 2] @ complex[N, M] -> [..., M, 2] via four real MXU matmuls."""
+            precision=None, compute_dtype=None) -> jnp.ndarray:
+    """[..., N, 2] @ complex[N, M] -> [..., M, 2] via four real MXU matmuls.
+
+    ``compute_dtype=jnp.bfloat16`` casts operands for full-rate MXU issue
+    while accumulating in float32 (preferred_element_type)."""
     xr, xi = x[..., 0], x[..., 1]
-    yr = jnp.matmul(xr, w_re, precision=precision) - jnp.matmul(xi, w_im, precision=precision)
-    yi = jnp.matmul(xr, w_im, precision=precision) + jnp.matmul(xi, w_re, precision=precision)
+    if compute_dtype is not None:
+        xr, xi = xr.astype(compute_dtype), xi.astype(compute_dtype)
+        w_re = jnp.asarray(w_re, compute_dtype)
+        w_im = jnp.asarray(w_im, compute_dtype)
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=precision,
+                          preferred_element_type=jnp.float32)
+
+    yr = mm(xr, w_re) - mm(xi, w_im)
+    yi = mm(xr, w_im) + mm(xi, w_re)
     return jnp.stack([yr, yi], axis=-1)

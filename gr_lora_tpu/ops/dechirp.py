@@ -42,32 +42,40 @@ def _plan_key(cfg: LoraConfig) -> tuple:
 
 
 @lru_cache(maxsize=None)
-def _up_plan(sf: int, p: int, fft_factor: int) -> ZoomDftPlan:
+def _up_plan(sf: int, p: int, fft_factor: int,
+             precision: str = "highest") -> ZoomDftPlan:
     """Plan dechirping data/preamble upchirps: multiply by the +phi chirp
     (the reference's 'downchirp' table, demod_impl.cc:329)."""
     _, down = chirp_tables(sf, p)
     n = p << sf
-    return ZoomDftPlan(n, fft_factor * n, BandSpec(fft_factor << sf, fft_factor << sf), down)
+    return ZoomDftPlan(n, fft_factor * n,
+                       BandSpec(fft_factor << sf, fft_factor << sf), down,
+                       precision=precision)
 
 
 @lru_cache(maxsize=None)
-def _down_plan(sf: int, p: int, fft_factor: int) -> ZoomDftPlan:
+def _down_plan(sf: int, p: int, fft_factor: int,
+               precision: str = "highest") -> ZoomDftPlan:
     """Plan dechirping the SFD downchirps: multiply by the -phi chirp."""
     up, _ = chirp_tables(sf, p)
     n = p << sf
-    return ZoomDftPlan(n, fft_factor * n, BandSpec(fft_factor << sf, fft_factor << sf), up)
+    return ZoomDftPlan(n, fft_factor * n,
+                       BandSpec(fft_factor << sf, fft_factor << sf), up,
+                       precision=precision)
 
 
 @lru_cache(maxsize=None)
-def _pyramid_plans(sf: int, p: int, fft_factor: int, beta: float):
+def _pyramid_plans(sf: int, p: int, fft_factor: int, beta: float,
+                   precision: str = "highest"):
     """Pyramid needs bins [0, 2K) + top K, both unwindowed and Kaiser-windowed."""
     _, down = chirp_tables(sf, p)
     n = p << sf
     k = fft_factor << sf
     assert 2 * k <= fft_factor * n, "pyramid fold requires p >= 2 (reference uses 8)"
-    plain = ZoomDftPlan(n, fft_factor * n, BandSpec(2 * k, k), down)
+    plain = ZoomDftPlan(n, fft_factor * n, BandSpec(2 * k, k), down,
+                        precision=precision)
     win = ZoomDftPlan(n, fft_factor * n, BandSpec(2 * k, k),
-                      down * kaiser_window(n, beta))
+                      down * kaiser_window(n, beta), precision=precision)
     return plain, win
 
 
@@ -95,24 +103,24 @@ def band_peak(lo: jnp.ndarray, hi: jnp.ndarray, cfg: LoraConfig):
 
 def up_peak(window: jnp.ndarray, cfg: LoraConfig):
     """Window(s) [..., N, 2] -> folded up-chirp peak (idx, val)."""
-    lo, hi = _up_plan(cfg.sf, cfg.p, cfg.fft_factor)(window)
+    lo, hi = _up_plan(cfg.sf, cfg.p, cfg.fft_factor, cfg.precision)(window)
     return band_peak(lo, hi, cfg)
 
 
 def down_peak(window: jnp.ndarray, cfg: LoraConfig):
     """Window(s) [..., N, 2] -> folded down-chirp (SFD) peak (idx, val)."""
-    lo, hi = _down_plan(cfg.sf, cfg.p, cfg.fft_factor)(window)
+    lo, hi = _down_plan(cfg.sf, cfg.p, cfg.fft_factor, cfg.precision)(window)
     return band_peak(lo, hi, cfg)
 
 
 def up_bands(window: jnp.ndarray, cfg: LoraConfig):
     """Raw folded bands for consumers that combine magnitudes themselves
     (weak demod's non-coherent two-symbol sum, weak_demod_impl.cc:192)."""
-    return _up_plan(cfg.sf, cfg.p, cfg.fft_factor)(window)
+    return _up_plan(cfg.sf, cfg.p, cfg.fft_factor, cfg.precision)(window)
 
 
 def down_bands(window: jnp.ndarray, cfg: LoraConfig):
-    return _down_plan(cfg.sf, cfg.p, cfg.fft_factor)(window)
+    return _down_plan(cfg.sf, cfg.p, cfg.fft_factor, cfg.precision)(window)
 
 
 def frame_signal(iq: jnp.ndarray, frame_len: int, hop: int, num_frames: int,
@@ -130,7 +138,8 @@ def pyramid_spectra(frames: jnp.ndarray, cfg: LoraConfig):
     - fft_add_w: Kaiser-windowed, same fold           (pyramid_demod_impl.cc:603)
     - h_single:  max(mags[:K], mags[F-K:])            (pyramid_demod_impl.cc:269)
     """
-    plain, win = _pyramid_plans(cfg.sf, cfg.p, cfg.fft_factor, cfg.beta)
+    plain, win = _pyramid_plans(cfg.sf, cfg.p, cfg.fft_factor, cfg.beta,
+                                cfg.precision)
     k = cfg.bin_size
     lo, hi = plain(frames)
     mlo, mhi = cmag(lo), cmag(hi)

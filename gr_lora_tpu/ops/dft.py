@@ -35,7 +35,16 @@ from .cplx import cmatmul, cmul
 # Matrices larger than this (complex elements) switch to the four-step path.
 _DIRECT_MAX_ELEMS = 1 << 23  # 8M complex = 64 MB as two f32 matrices
 
-_PRECISION = jax.lax.Precision.HIGHEST
+
+def _resolve_precision(name: str):
+    """(lax precision, compute dtype) for a LoraConfig.precision string."""
+    if name == "highest":
+        return jax.lax.Precision.HIGHEST, None
+    if name == "default":
+        return jax.lax.Precision.DEFAULT, None
+    if name == "bf16":
+        return None, jnp.bfloat16
+    raise ValueError(f"unknown precision {name!r}")
 
 
 def _best_split(n: int) -> tuple[int, int]:
@@ -64,7 +73,9 @@ class ZoomDftPlan:
     """
 
     def __init__(self, n: int, fft_size: int, bands: BandSpec,
-                 modulation: np.ndarray, force_four_step: bool | None = None):
+                 modulation: np.ndarray, force_four_step: bool | None = None,
+                 precision: str = "highest"):
+        self._lax_precision, self._compute_dtype = _resolve_precision(precision)
         assert fft_size % n == 0, "fft_size must be a multiple of the frame length"
         self.n = n
         self.fft_size = fft_size
@@ -119,7 +130,9 @@ class ZoomDftPlan:
 
     def __call__(self, frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         if self._mode == "direct":
-            out = cmatmul(frames, self._w_re, self._w_im, precision=_PRECISION)
+            out = cmatmul(frames, self._w_re, self._w_im,
+                          precision=self._lax_precision,
+                          compute_dtype=self._compute_dtype)
             lo = out[..., :self.bands.nlo, :]
             hi = out[..., self.bands.nlo:, :]
             return lo, hi
@@ -132,13 +145,17 @@ class ZoomDftPlan:
         a = x.reshape(*lead, factor, n1, n2, 2)
         # Step 1: DFT over n1 (contract axis -3). Move n1 last: [..., n2, n1, 2].
         a_t = jnp.swapaxes(a, -3, -2)
-        c = cmatmul(a_t, self._f1_re, self._f1_im, precision=_PRECISION)  # [..., n2, k1, 2]
+        c = cmatmul(a_t, self._f1_re, self._f1_im,
+                    precision=self._lax_precision,
+                    compute_dtype=self._compute_dtype)  # [..., n2, k1, 2]
         # Step 2: twiddle w^(n2*k1); self._tw is [k1, n2] -> transpose.
         tw_t = jnp.swapaxes(self._tw, 0, 1)  # [n2, k1, 2]
         c = cmul(c, tw_t)
         # Step 3: DFT over n2: move n2 last again: [..., k1, n2, 2].
         c_t = jnp.swapaxes(c, -3, -2)
-        d = cmatmul(c_t, self._f2_re, self._f2_im, precision=_PRECISION)  # [..., k1, k2, 2]
+        d = cmatmul(c_t, self._f2_re, self._f2_im,
+                    precision=self._lax_precision,
+                    compute_dtype=self._compute_dtype)  # [..., k1, k2, 2]
         # X[k1 + N1*k2] -> index m: reorder to [k2, k1] then flatten.
         xr = jnp.swapaxes(d, -3, -2).reshape(*lead, factor, self.n, 2)
         # Padded-FFT bins: bin (factor*m + r) = X_r[m]; pack [m, r] row-major.

@@ -1,0 +1,52 @@
+"""AWGN packet-error-rate behavior (SURVEY.md §4: the test pyramid's PER
+curves).  Few trials per point to stay fast; asserts the floor location and
+monotonic shape rather than tight probabilities."""
+
+import numpy as np
+import pytest
+
+from gr_lora_tpu import LoraConfig
+from gr_lora_tpu.models.transceiver import loopback
+
+CFG = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
+                 payload_len=6, p=2, fft_factor=8)
+PAYLOAD = bytes([1, 2, 3, 4, 5, 6])
+TRIALS = 6
+
+
+def _per(snr_db):
+    fails = 0
+    for t in range(TRIALS):
+        r = loopback(PAYLOAD, CFG, snr_db=snr_db, seed=1000 + t)
+        ok = any(p.hex() == "0630f0010203040506050801" for p in r.payloads)
+        fails += not ok
+    return fails / TRIALS
+
+
+def test_per_curve_sf8():
+    """SF8 decodes reliably down to ~-12 dB and degrades below -16 dB
+    (LoRa SF8 demod limit is about -13.5 dB SNR in-band; our p=2 chain
+    should hold at least -12 / fail well below)."""
+    per_hi = _per(0.0)
+    per_mid = _per(-12.0)
+    per_lo = _per(-20.0)
+    assert per_hi == 0.0, f"PER at 0 dB should be 0, got {per_hi}"
+    assert per_mid <= 1 / TRIALS, f"PER at -12 dB too high: {per_mid}"
+    assert per_lo >= 0.5, f"PER at -20 dB suspiciously low: {per_lo}"
+    assert per_hi <= per_mid <= per_lo + 1e-9
+
+
+def test_sf_gain():
+    """Higher SF buys sensitivity: SF10 decodes at an SNR where SF7 fails."""
+    snr = -16.0
+    ok = {}
+    for sf in (7, 10):
+        cfg = LoraConfig(sf=sf, cr=1, crc=True, ldr=False,
+                         explicit_header=True, payload_len=4, p=2,
+                         fft_factor=8)
+        good = 0
+        for t in range(4):
+            r = loopback(bytes([1, 2, 3, 4]), cfg, snr_db=snr, seed=50 + t)
+            good += bool(r.payloads)
+        ok[sf] = good
+    assert ok[10] > ok[7], ok
