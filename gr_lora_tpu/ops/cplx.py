@@ -41,6 +41,32 @@ def cmag2(a: jnp.ndarray) -> jnp.ndarray:
     return a[..., 0] ** 2 + a[..., 1] ** 2
 
 
+def pack_cmatmul_weights(w_re: np.ndarray, w_im: np.ndarray) -> np.ndarray:
+    """complex[N, M] -> real [2N, 2M] so one matmul computes the complex
+    product: rows [Wr | Wi ; -Wi | Wr], inputs packed [xr | xi]."""
+    top = np.concatenate([w_re, w_im], axis=1)
+    bot = np.concatenate([-w_im, w_re], axis=1)
+    return np.concatenate([top, bot], axis=0)
+
+
+def cmatmul_packed(x: jnp.ndarray, w2: jnp.ndarray, precision=None,
+                   compute_dtype=None) -> jnp.ndarray:
+    """[..., N, 2] @ packed [2N, 2M] -> [..., M, 2] as ONE MXU matmul.
+
+    One [.., 2N] x [2N, 2M] product replaces the four [.., N] x [N, M]
+    matmuls of the naive complex multiply — bigger, better-utilized MXU
+    tiles and a single pass over the input.  ``compute_dtype=jnp.bfloat16``
+    casts operands for full-rate MXU issue while accumulating in float32."""
+    xp = jnp.concatenate([x[..., 0], x[..., 1]], axis=-1)
+    if compute_dtype is not None:
+        xp = xp.astype(compute_dtype)
+        w2 = jnp.asarray(w2, compute_dtype)
+    y = jnp.matmul(xp, w2, precision=precision,
+                   preferred_element_type=jnp.float32)
+    m = w2.shape[1] // 2
+    return jnp.stack([y[..., :m], y[..., m:]], axis=-1)
+
+
 def cmatmul(x: jnp.ndarray, w_re: jnp.ndarray, w_im: jnp.ndarray,
             precision=None, compute_dtype=None) -> jnp.ndarray:
     """[..., N, 2] @ complex[N, M] -> [..., M, 2] via four real MXU matmuls.

@@ -65,18 +65,18 @@ def _down_plan(sf: int, p: int, fft_factor: int,
 
 
 @lru_cache(maxsize=None)
-def _pyramid_plans(sf: int, p: int, fft_factor: int, beta: float,
-                   precision: str = "highest"):
-    """Pyramid needs bins [0, 2K) + top K, both unwindowed and Kaiser-windowed."""
+def _pyramid_plan(sf: int, p: int, fft_factor: int, beta: float,
+                  precision: str = "highest") -> ZoomDftPlan:
+    """Pyramid needs bins [0, 2K) + top K, both unwindowed and
+    Kaiser-windowed — fused as two variants of ONE packed matmul."""
     _, down = chirp_tables(sf, p)
     n = p << sf
     k = fft_factor << sf
     assert 2 * k <= fft_factor * n, "pyramid fold requires p >= 2 (reference uses 8)"
-    plain = ZoomDftPlan(n, fft_factor * n, BandSpec(2 * k, k), down,
-                        precision=precision)
-    win = ZoomDftPlan(n, fft_factor * n, BandSpec(2 * k, k),
-                      down * kaiser_window(n, beta), precision=precision)
-    return plain, win
+    import numpy as _np
+    mods = _np.stack([down, down * kaiser_window(n, beta)])
+    return ZoomDftPlan(n, fft_factor * n, BandSpec(2 * k, k), mods,
+                       precision=precision)
 
 
 def band_peak(lo: jnp.ndarray, hi: jnp.ndarray, cfg: LoraConfig):
@@ -138,14 +138,13 @@ def pyramid_spectra(frames: jnp.ndarray, cfg: LoraConfig):
     - fft_add_w: Kaiser-windowed, same fold           (pyramid_demod_impl.cc:603)
     - h_single:  max(mags[:K], mags[F-K:])            (pyramid_demod_impl.cc:269)
     """
-    plain, win = _pyramid_plans(cfg.sf, cfg.p, cfg.fft_factor, cfg.beta,
-                                cfg.precision)
+    plan = _pyramid_plan(cfg.sf, cfg.p, cfg.fft_factor, cfg.beta,
+                         cfg.precision)
     k = cfg.bin_size
-    lo, hi = plain(frames)
+    (lo, hi), (lo_w, _) = plan(frames)
     mlo, mhi = cmag(lo), cmag(hi)
     fft_add = mlo[..., :k] + mlo[..., k:]
     h_single = jnp.maximum(mlo[..., :k], mhi)
-    lo_w, _ = win(frames)
     mw = cmag(lo_w)
     fft_add_w = mw[..., :k] + mw[..., k:]
     return fft_add, fft_add_w, h_single

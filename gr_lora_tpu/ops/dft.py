@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .cplx import cmatmul, cmul
+from .cplx import cmatmul, cmatmul_packed, cmul, pack_cmatmul_weights
 
 # Matrices larger than this (complex elements) switch to the four-step path.
 _DIRECT_MAX_ELEMS = 1 << 23  # 8M complex = 64 MB as two f32 matrices
@@ -83,9 +83,12 @@ class ZoomDftPlan:
         factor = fft_size // n
         self.factor = factor
         v = np.asarray(modulation, dtype=np.complex128)
-        assert v.shape == (n,)
+        if v.ndim == 1:
+            v = v[None, :]
+        self.num_variants = v.shape[0]
+        assert v.shape[1] == n
 
-        total_bins = bands.nlo + bands.nhi
+        total_bins = (bands.nlo + bands.nhi) * self.num_variants
         use_four = (n * total_bins > _DIRECT_MAX_ELEMS) if force_four_step is None \
             else force_four_step
 
@@ -96,12 +99,19 @@ class ZoomDftPlan:
                 np.arange(fft_size - bands.nhi, fft_size),
             ]).astype(np.float64)
             ang = -2j * np.pi * np.outer(np.arange(n), k) / fft_size
-            w = np.exp(ang) * v[:, None]
+            e = np.exp(ang)
+            # All modulation variants (e.g. windowed + unwindowed dechirp)
+            # share one packed matmul: columns concatenated per variant.
+            w = np.concatenate([e * v[i][:, None]
+                                for i in range(self.num_variants)], axis=1)
             # Kept as NumPy so a plan built inside a jit trace holds no
             # tracers; they enter each trace as constants.
-            self._w_re = w.real.astype(np.float32)
-            self._w_im = w.imag.astype(np.float32)
+            self._w2 = pack_cmatmul_weights(
+                w.real.astype(np.float32), w.imag.astype(np.float32))
         else:
+            assert self.num_variants == 1, \
+                "four-step path supports a single modulation variant"
+            v = v[0]
             self._mode = "four_step"
             assert bands.nlo % factor == 0 and bands.nhi % factor == 0, \
                 "band widths must be multiples of fft_factor for the four-step path"
@@ -128,14 +138,18 @@ class ZoomDftPlan:
     def mode(self) -> str:
         return self._mode
 
-    def __call__(self, frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, frames: jnp.ndarray):
         if self._mode == "direct":
-            out = cmatmul(frames, self._w_re, self._w_im,
-                          precision=self._lax_precision,
-                          compute_dtype=self._compute_dtype)
-            lo = out[..., :self.bands.nlo, :]
-            hi = out[..., self.bands.nlo:, :]
-            return lo, hi
+            out = cmatmul_packed(frames, self._w2,
+                                 precision=self._lax_precision,
+                                 compute_dtype=self._compute_dtype)
+            per = self.bands.nlo + self.bands.nhi
+            outs = [
+                (out[..., i * per:i * per + self.bands.nlo, :],
+                 out[..., i * per + self.bands.nlo:(i + 1) * per, :])
+                for i in range(self.num_variants)
+            ]
+            return outs[0] if self.num_variants == 1 else outs
         return self._four_step(frames)
 
     def _four_step(self, frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
