@@ -295,12 +295,15 @@ class PyramidTracker:
 # ---------------------------------------------------------------------------
 
 def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
-                       flush: bool = True) -> list[np.ndarray]:
+                       flush: bool = True,
+                       use_native: bool | None = None) -> list[np.ndarray]:
     """IQ stream -> one uint16 symbol vector per (colliding) packet.
 
     Equivalent of wiring the reference pyramid_demod block over a file
     capture (examples/rx_file_collision.grc); symbol vectors feed
-    core.codec.decode unchanged.
+    core.codec.decode unchanged.  ``use_native`` selects the C++ tracker
+    (default: whenever the native library is available — it is
+    behavior-identical, see tests/test_native_pyramid.py).
     """
     if np.iscomplexobj(iq):
         iq = to_ri(np.asarray(iq))
@@ -311,7 +314,15 @@ def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
     lattice = make_peak_lattice(cfg, nh, max_peaks)
     bins, h, hs, valid = (np.asarray(x) for x in jax.device_get(lattice(iq)))
 
-    tracker = PyramidTracker(cfg)
+    if use_native is None:
+        from .. import native as _native
+        use_native = _native.available()
+    if use_native:
+        from .. import native as _native
+        tracker = _native.PyramidTracker(cfg)
+    else:
+        tracker = PyramidTracker(cfg)
+
     for t in range(nh):
         v = valid[t]
         if v.any():
@@ -324,4 +335,4 @@ def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
     if flush:
         for _ in range(tracker.flush_hops()):
             tracker.step()
-    return tracker.symbols_out
+    return tracker.drain() if use_native else tracker.symbols_out

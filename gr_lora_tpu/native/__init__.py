@@ -79,6 +79,18 @@ def _load() -> ctypes.CDLL | None:
         lib.lora_header_checksum.argtypes = [ctypes.c_uint8, ctypes.c_uint8]
         lib.lora_whitening_sequence.restype = None
         lib.lora_whitening_sequence.argtypes = [u8p]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.lora_pyramid_create.restype = ctypes.c_void_p
+        lib.lora_pyramid_create.argtypes = [ctypes.c_int32] * 4 + [ctypes.c_float]
+        lib.lora_pyramid_destroy.argtypes = [ctypes.c_void_p]
+        lib.lora_pyramid_step.argtypes = [ctypes.c_void_p, i32p, f32p, f32p,
+                                          ctypes.c_int32]
+        lib.lora_pyramid_pending.restype = ctypes.c_int32
+        lib.lora_pyramid_pending.argtypes = [ctypes.c_void_p]
+        lib.lora_pyramid_pop.restype = ctypes.c_int32
+        lib.lora_pyramid_pop.argtypes = [ctypes.c_void_p, u16p, ctypes.c_int32]
+        lib.lora_pyramid_flush_hops.restype = ctypes.c_int32
+        lib.lora_pyramid_flush_hops.argtypes = [ctypes.c_void_p]
         lib.lora_ring_create.restype = ctypes.c_void_p
         lib.lora_ring_create.argtypes = [ctypes.c_size_t]
         lib.lora_ring_destroy.argtypes = [ctypes.c_void_p]
@@ -202,3 +214,51 @@ class RingBuffer:
         out = np.zeros(n, np.uint8)
         got = self._lib.lora_ring_peek(self._h, self._u8(out), n)
         return out[:got]
+
+
+class PyramidTracker:
+    """Native pyramid peak-track state machine; drop-in for
+    models.pyramid.PyramidTracker's step/flush surface."""
+
+    def __init__(self, cfg: LoraConfig):
+        lib = _load()
+        assert lib is not None, "native library unavailable"
+        self._lib = lib
+        self._h = lib.lora_pyramid_create(cfg.sf, cfg.p, cfg.fft_factor,
+                                          int(cfg.ldr), cfg.threshold)
+        if not self._h:
+            raise MemoryError("lora_pyramid_create failed")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.lora_pyramid_destroy(h)
+            self._h = None
+
+    def step(self, bins=(), h=(), h_single=()):
+        import ctypes as _ct
+        b = np.ascontiguousarray(bins, np.int32)
+        hh = np.ascontiguousarray(h, np.float32)
+        hs = np.ascontiguousarray(h_single, np.float32)
+        self._lib.lora_pyramid_step(
+            self._h,
+            b.ctypes.data_as(_ct.POINTER(_ct.c_int32)),
+            hh.ctypes.data_as(_ct.POINTER(_ct.c_float)),
+            hs.ctypes.data_as(_ct.POINTER(_ct.c_float)),
+            len(b))
+
+    def flush_hops(self) -> int:
+        return int(self._lib.lora_pyramid_flush_hops(self._h))
+
+    def drain(self) -> list[np.ndarray]:
+        import ctypes as _ct
+        out = []
+        buf = np.zeros(4096, np.uint16)
+        while self._lib.lora_pyramid_pending(self._h) > 0:
+            n = self._lib.lora_pyramid_pop(
+                self._h, buf.ctypes.data_as(_ct.POINTER(_ct.c_uint16)),
+                len(buf))
+            if n < 0:
+                break
+            out.append(buf[:n].copy())
+        return out

@@ -53,6 +53,23 @@ uint8_t lora_header_checksum(uint8_t payload_len, uint8_t cr_crc);
 /* The 255-byte whitening sequence (lora.h:29-30); dst must hold 255. */
 void lora_whitening_sequence(uint8_t* dst);
 
+/* ---- Pyramid peak-track / packet state machine (host fast path;
+ * behavior-identical to models/pyramid.PyramidTracker). ---- */
+typedef struct lora_pyramid lora_pyramid;
+
+lora_pyramid* lora_pyramid_create(int32_t sf, int32_t p, int32_t fft_factor,
+                                  int32_t ldr, float threshold);
+void lora_pyramid_destroy(lora_pyramid* t);
+/* Feed one hop's extracted peaks, sorted ascending by bin (pass npeaks=0
+ * for an empty hop). */
+void lora_pyramid_step(lora_pyramid* t, const int32_t* bins, const float* h,
+                       const float* h_single, int32_t npeaks);
+int32_t lora_pyramid_pending(const lora_pyramid* t);
+/* Pop one finished packet's symbols; returns count, -1 empty, -2 cap. */
+int32_t lora_pyramid_pop(lora_pyramid* t, uint16_t* dst, int32_t cap);
+/* Empty hops needed to retire all tracks and expire all TTLs. */
+int32_t lora_pyramid_flush_hops(const lora_pyramid* t);
+
 /* ---- SPSC lock-free ring buffer (GR stream-buffer analog). ---- */
 typedef struct lora_ring lora_ring;
 

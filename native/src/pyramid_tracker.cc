@@ -1,0 +1,292 @@
+// Pyramid peak-track / packet state machine, host-native fast path.
+//
+// Behavior-identical to gr_lora_tpu.models.pyramid.PyramidTracker (the
+// Python implementation is the executable spec; both trace to the reference
+// algorithm: pyramid_demod_impl.cc:225-525 find/classify/cluster and
+// :610-767 TTL-expiry assembly).  Cross-checked peak-for-peak against the
+// Python tracker in tests/test_native_pyramid.py.
+
+#include "lora_host.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+#include <deque>
+#include <limits>
+#include <vector>
+
+namespace {
+
+constexpr int64_t TS_MOD = 1 << 28;
+constexpr int OVERLAPS = 8;
+constexpr int NUM_PREAMBLE = 6;
+
+inline int64_t pmod(int64_t x, int64_t n) { return ((x % n) + n) % n; }
+
+struct Peak {
+  int64_t ts;
+  int32_t bin;
+  float h;
+  float h_single;
+};
+
+struct Track {
+  int32_t bin;  // drift-corrected bin at creation
+  std::vector<Peak> peaks;
+  bool updated = true;
+};
+
+struct Packet {
+  std::vector<Peak> peaks;  // [0] is the preamble pseudo-peak
+  int32_t ttl;
+};
+
+}  // namespace
+
+struct lora_pyramid {
+  int n;              // samples per symbol
+  int k;              // bin_size
+  int fft_factor;
+  int bin_tolerance;
+  float threshold;
+  int ttl0 = 6 * OVERLAPS;
+  int hop;
+  int64_t ts_ref = 0;
+  int32_t bin_ref = 0;
+  std::vector<Track> tracks;
+  std::vector<Packet> packets;
+  std::deque<std::vector<uint16_t>> out;
+
+  lora_pyramid(int sf, int p, int ff, int ldr, float thr)
+      : n(p << sf),
+        k(ff << sf),
+        fft_factor(ff),
+        bin_tolerance(ldr ? ff * 2 : ff / 2),
+        threshold(thr),
+        hop((p << sf) / OVERLAPS) {}
+
+  // find_and_add_peak (:225-272): peaks must arrive sorted by bin.
+  void add_peaks(const int32_t* bins, const float* h, const float* hs,
+                 int np) {
+    for (int i = 0; i < np; i++) {
+      const int32_t cur_bin = (int32_t)pmod(k + bins[i] - bin_ref, k);
+      Track* match = nullptr;
+      for (auto& tr : tracks) {
+        const int64_t dis = pmod(k + cur_bin - tr.bin, k);
+        if (dis <= bin_tolerance || dis >= k - bin_tolerance) {
+          match = &tr;
+          tr.updated = true;
+          break;
+        }
+      }
+      if (!match) {
+        tracks.push_back(Track{cur_bin, {}, true});
+        match = &tracks.back();
+      }
+      match->peaks.push_back(Peak{ts_ref, bins[i], h[i], hs[i]});
+    }
+  }
+
+  // get_apex SEGMENT (:274-317).
+  static Peak apex(const std::vector<Peak>& pk, size_t lo, bool is_pre) {
+    size_t best = lo;
+    float bh = is_pre ? pk[lo].h_single : pk[lo].h;
+    for (size_t i = lo + 1; i < pk.size(); i++) {
+      const float v = is_pre ? pk[i].h_single : pk[i].h;
+      if (v > bh) {
+        bh = v;
+        best = i;
+      }
+    }
+    return Peak{pk[best].ts, pk[best].bin, bh, pk[best].h_single};
+  }
+
+  // get_central_peak (:319-391). Returns 0=preamble, 1=data, 2=broken.
+  int central_peak(const Track& tr, Peak* out_pk) {
+    const auto& pk = tr.peaks;
+    const int ln = (int)pk.size();
+    if (ln >= OVERLAPS * (NUM_PREAMBLE - 1) + 2) {
+      int r_idx = ln - OVERLAPS;
+      float max_h = -1;
+      for (int i = ln - OVERLAPS; i < ln; i++) {
+        if (pk[i].h > max_h) {
+          max_h = pk[i].h;
+          r_idx = i;
+        }
+      }
+      int start_idx = r_idx;
+      while (start_idx > r_idx - OVERLAPS / 2) {
+        if (pk[start_idx - 1].h_single > pk[start_idx].h_single ||
+            pk[start_idx].h_single < threshold)
+          break;
+        start_idx--;
+      }
+      Peak p = apex(pk, start_idx, true);
+      p.ts = pmod(p.ts + n / 4, TS_MOD);  // SFD-gap fix (:371)
+      double sum = 0;
+      for (int i = 2 * OVERLAPS; i < OVERLAPS * (NUM_PREAMBLE - 2); i++)
+        sum += pk[i].h;
+      p.h = (float)(sum / (OVERLAPS * (NUM_PREAMBLE - 4)));
+      *out_pk = p;
+      return 0;
+    }
+    if (ln >= 2 && ln <= 2 * OVERLAPS) {
+      *out_pk = apex(pk, 0, false);
+      return 1;
+    }
+    return 2;
+  }
+
+  // get_dis (:187-196).
+  float get_dis(int64_t ts1, float h1, int64_t ts2, float h2) const {
+    float dis = (float)pmod(ts1 - ts2, n) / (float)n;
+    dis = dis > 0.5f ? (1 - dis) * 2 : dis * 2;
+    dis += std::fabs(h1 - h2) / h2;
+    return dis;
+  }
+
+  // add_symbol_to_packet (:393-473).
+  bool add_symbol(const Peak& pk, int st) {
+    if (st == 0) {
+      packets.push_back(Packet{{pk}, ttl0});
+      return true;
+    }
+    Packet* best = nullptr;
+    float min_dis = std::numeric_limits<float>::infinity();
+    for (auto& packet : packets) {
+      const int64_t ts_dis = pmod(pk.ts - packet.peaks[0].ts, TS_MOD);
+      if (!(ts_dis > 4 * (int64_t)n && ts_dis < TS_MOD / 2)) continue;
+      float dis = (float)pmod(ts_dis, n) / (float)n;
+      dis = dis > 0.5f ? (1 - dis) * 2 : dis * 2;
+      const float h_dis =
+          std::fabs(packet.peaks[0].h - pk.h) / packet.peaks[0].h;
+      if (dis < min_dis && h_dis < 0.5f) {
+        best = &packet;
+        min_dis = dis;
+      }
+    }
+    if (!best) return false;
+    best->ttl = ttl0;
+    best->peaks.push_back(pk);
+    return true;
+  }
+
+  // check_and_update_track (:475-525).
+  void finish_idle_tracks() {
+    std::vector<Track> keep;
+    keep.reserve(tracks.size());
+    for (auto& tr : tracks) {
+      if (tr.updated) {
+        tr.updated = false;
+        keep.push_back(std::move(tr));
+        continue;
+      }
+      Peak pk;
+      const int st = central_peak(tr, &pk);
+      if (st == 0 || st == 1) add_symbol(pk, st);
+    }
+    tracks = std::move(keep);
+  }
+
+  // TTL-expiry assembly (:610-767).
+  void assemble(Packet& packet) {
+    auto& pkt = packet.peaks;
+    const int64_t pre_ts = pkt[0].ts;
+    const int32_t pre_bin = pkt[0].bin;
+    const float pre_h = pkt[0].h;
+    for (auto& p : pkt) p.ts = pmod(p.ts - pre_ts, TS_MOD);
+    std::stable_sort(pkt.begin(), pkt.end(),
+                     [](const Peak& a, const Peak& b) { return a.ts < b.ts; });
+    std::vector<uint16_t> symbols;
+    int64_t lo = 4 * (int64_t)n + n / 2;
+    size_t start_idx = 1;
+    while (start_idx < pkt.size()) {
+      bool is_first = true, found = false;
+      size_t end_idx = start_idx;
+      while (end_idx < pkt.size()) {
+        const bool in_win = pkt[end_idx].ts > lo && pkt[end_idx].ts < lo + n;
+        if (is_first) {
+          if (in_win) {
+            start_idx = end_idx;
+            is_first = false;
+            found = true;
+          }
+        } else if (!in_win) {
+          break;
+        }
+        end_idx++;
+      }
+      if (found) {
+        size_t idx = start_idx;
+        float min_dis = std::numeric_limits<float>::infinity();
+        for (size_t i = start_idx; i < end_idx; i++) {
+          const float dis = get_dis(pkt[i].ts, pkt[i].h, 0, pre_h);
+          if (dis < min_dis) {
+            min_dis = dis;
+            idx = i;
+          }
+        }
+        const int64_t bin_shift = pmod(pkt[idx].ts, n) * k / n;
+        const int64_t b = pmod(pkt[idx].bin - pre_bin - bin_shift, k);
+        symbols.push_back((uint16_t)(b / fft_factor));
+      } else {
+        symbols.push_back(0);
+      }
+      start_idx = end_idx;
+      lo = pmod(lo + n, TS_MOD);
+    }
+    if (symbols.size() >= 8) out.push_back(std::move(symbols));
+  }
+
+  void step(const int32_t* bins, const float* h, const float* hs, int np) {
+    add_peaks(bins, h, hs, np);
+    finish_idle_tracks();
+    std::vector<Packet> live;
+    live.reserve(packets.size());
+    for (auto& packet : packets) {
+      if (packet.ttl <= 0)
+        assemble(packet);
+      else
+        live.push_back(std::move(packet));
+    }
+    packets = std::move(live);
+    for (auto& packet : packets) packet.ttl -= 1;
+    ts_ref = pmod(ts_ref + hop, TS_MOD);
+    bin_ref = (int32_t)pmod(bin_ref + k / OVERLAPS, k);
+  }
+};
+
+extern "C" {
+
+lora_pyramid* lora_pyramid_create(int32_t sf, int32_t p, int32_t fft_factor,
+                                  int32_t ldr, float threshold) {
+  return new lora_pyramid(sf, p, fft_factor, ldr, threshold);
+}
+
+void lora_pyramid_destroy(lora_pyramid* t) { delete t; }
+
+void lora_pyramid_step(lora_pyramid* t, const int32_t* bins, const float* h,
+                       const float* h_single, int32_t npeaks) {
+  t->step(bins, h, h_single, npeaks);
+}
+
+int32_t lora_pyramid_pending(const lora_pyramid* t) {
+  return (int32_t)t->out.size();
+}
+
+int32_t lora_pyramid_pop(lora_pyramid* t, uint16_t* dst, int32_t cap) {
+  if (t->out.empty()) return -1;
+  const auto& s = t->out.front();
+  const int32_t nsc = (int32_t)s.size();
+  if (nsc > cap) return -2;
+  std::memcpy(dst, s.data(), nsc * sizeof(uint16_t));
+  t->out.pop_front();
+  return nsc;
+}
+
+int32_t lora_pyramid_flush_hops(const lora_pyramid* t) {
+  (void)t;
+  return (NUM_PREAMBLE + 3) * OVERLAPS + 6 * OVERLAPS + 2;
+}
+
+}  // extern "C"

@@ -71,3 +71,22 @@ def test_whitening_consensus():
     obs[0][1] ^= 0x40            # minority bit errors
     obs[3][2] ^= 0x01
     assert consensus([bytes(o) for o in obs]) == true
+
+
+def test_rx_stream_cli(tmp_path, capsys):
+    """Streaming CLI over a demod-rate capture."""
+    import numpy as np
+
+    from gr_lora_tpu import LoraConfig
+    from gr_lora_tpu.apps import rx_stream
+    from gr_lora_tpu.core.codec import encode
+    from gr_lora_tpu.models.modulator import modulate
+
+    cfg = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
+                     payload_len=8, p=2, fft_factor=8)
+    iq = modulate(encode(bytes([1, 2, 3, 4, 5, 6]), cfg), cfg)
+    path = tmp_path / "stream.cf64"
+    np.asarray(0.5 * iq, np.complex64).tofile(path)
+    assert rx_stream.main([str(path), "--chunk", "4096"]) == 0
+    out = capsys.readouterr().out
+    assert "06 30 f0 01 02 03 04 05 06 05 08 01" in out
