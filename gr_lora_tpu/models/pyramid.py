@@ -50,7 +50,8 @@ def _pmod(x: int, n: int) -> int:
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def make_peak_lattice(cfg: LoraConfig, num_hops: int, max_peaks: int = 16):
+def make_peak_lattice(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
+                      backend: str = "xla"):
     """Jitted: iq float32[T, 2] -> per-hop top-M peaks.
 
     Returns (bins int32[H, M], h float32[H, M], h_single float32[H, M],
@@ -63,13 +64,26 @@ def make_peak_lattice(cfg: LoraConfig, num_hops: int, max_peaks: int = 16):
     hop = n // PYRAMID_OVERLAP_FACTOR
     r = n // hop
 
-    def run(iq):
+    def spectra_xla(iq):
         chunks = iq[: (num_hops + r - 1) * hop].reshape(-1, hop, 2)
         frames = jnp.stack(
             [jax.lax.slice_in_dim(chunks, k, k + num_hops, axis=0)
              for k in range(r)], axis=1,
         ).reshape(num_hops, n, 2)
-        fft_add, fft_add_w, h_single = pyramid_spectra(frames, cfg)
+        return pyramid_spectra(frames, cfg)
+
+    def spectra_pallas(iq):
+        from ..ops.pallas_frontend import make_pallas_spectra, row_chunks
+        # Mosaic kernels need a real TPU; interpret elsewhere (tests).
+        interpret = jax.default_backend() != "tpu"
+        fn = make_pallas_spectra(cfg, num_hops, interpret=interpret)
+        fa, faw, hs = fn(row_chunks(iq, cfg, num_hops))
+        return fa[:num_hops], faw[:num_hops], hs[:num_hops]
+
+    spectra = spectra_pallas if backend == "pallas" else spectra_xla
+
+    def run(iq):
+        fft_add, fft_add_w, h_single = spectra(iq)
         left = jnp.roll(fft_add_w, 1, axis=-1)
         right = jnp.roll(fft_add_w, -1, axis=-1)
         is_peak = ((fft_add_w > cfg.threshold) & (fft_add_w > left)
@@ -296,7 +310,8 @@ class PyramidTracker:
 
 def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
                        flush: bool = True,
-                       use_native: bool | None = None) -> list[np.ndarray]:
+                       use_native: bool | None = None,
+                       backend: str = "xla") -> list[np.ndarray]:
     """IQ stream -> one uint16 symbol vector per (colliding) packet.
 
     Equivalent of wiring the reference pyramid_demod block over a file
@@ -311,7 +326,7 @@ def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
     nh = num_hops_for(cfg, iq.shape[0])
     if nh == 0:
         return []
-    lattice = make_peak_lattice(cfg, nh, max_peaks)
+    lattice = make_peak_lattice(cfg, nh, max_peaks, backend)
     bins, h, hs, valid = (np.asarray(x) for x in jax.device_get(lattice(iq)))
 
     if use_native is None:

@@ -100,18 +100,23 @@ def _component_weights(cfg: LoraConfig) -> list[np.ndarray]:
 def _kernel(chunks_hbm, *refs, ft: int, w: int):
     ws = refs[:10]
     fft_add, fft_add_w, h_single = refs[10:13]
-    chunk_buf, frames, sem = refs[13:]
+    chunk_buf, frames, sems = refs[13:]
 
     i = pl.program_id(1)   # frame tile: innermost so weight blocks stay put
-    dma = pltpu.make_async_copy(
-        chunks_hbm.at[pl.ds(i * ft, ft + _R), :], chunk_buf, sem)
-    dma.start()
-    dma.wait()
-
-    # Frame f = chunk rows f..f+_R-1 concatenated along lanes; every copy is
-    # a full-width (128-aligned) row move.
-    for r in range(_R):
-        frames[:, r * w:(r + 1) * w] = chunk_buf[r:r + ft, :]
+    # _R overlapping row-shifted DMAs: frame f needs chunk rows f..f+_R-1;
+    # fetching each shift directly avoids sublane-offset VMEM copies.
+    dmas = [
+        pltpu.make_async_copy(
+            chunks_hbm.at[pl.ds(i * ft + r, ft), :], chunk_buf.at[r],
+            sems.at[r])
+        for r in range(_R)
+    ]
+    for d in dmas:
+        d.start()
+    for r, d in enumerate(dmas):
+        d.wait()
+        # bf16 frame block: lane-aligned full-row copy + cast.
+        frames[:, r * w:(r + 1) * w] = chunk_buf[r].astype(jnp.bfloat16)
 
     x = frames[:]
 
@@ -165,14 +170,15 @@ def make_pallas_spectra(cfg: LoraConfig, num_frames: int,
         out_shape=tuple(jax.ShapeDtypeStruct((fpad, k), jnp.float32)
                         for _ in range(3)),
         scratch_shapes=[
-            pltpu.VMEM((ft + _R, w), jnp.float32),
-            pltpu.VMEM((ft, _R * w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((_R, ft, w), jnp.float32),
+            pltpu.VMEM((ft, _R * w), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((_R,)),
         ],
         interpret=interpret,
     )
 
-    wargs = tuple(jnp.asarray(x) for x in weights)
+    # bf16 weights: full-rate MXU issue, f32 accumulate in the dot.
+    wargs = tuple(jnp.asarray(x, jnp.bfloat16) for x in weights)
 
     def run(chunks):
         need = fpad + _R
@@ -201,4 +207,24 @@ def pad_chunks(iq: np.ndarray, cfg: LoraConfig, num_frames: int,
     rows = np.zeros((c, w), np.float32)
     rows[:, :hop] = x[:, :, 0]
     rows[:, hop:2 * hop] = x[:, :, 1]
+    return rows
+
+
+def row_chunks(iq: jnp.ndarray, cfg: LoraConfig, num_frames: int,
+               frame_tile: int = 256) -> jnp.ndarray:
+    """Device-side pad_chunks: [T, 2] IQ -> [C, row_width] chunk rows,
+    composable under jit (pad_chunks is the host/NumPy twin)."""
+    n = cfg.num_samples
+    hop = n // _R
+    w = _row_width(hop)
+    ft = min(frame_tile, max(8, num_frames))
+    nft = -(-num_frames // ft)
+    c = nft * ft + _R
+    need = c * hop
+    pad = max(need - iq.shape[0], 0)
+    x = jnp.pad(iq.astype(jnp.float32), ((0, pad), (0, 0)))[:need]
+    x = x.reshape(c, hop, 2)
+    rows = jnp.concatenate(
+        [x[:, :, 0], x[:, :, 1],
+         jnp.zeros((c, w - 2 * hop), jnp.float32)], axis=1)
     return rows

@@ -41,7 +41,7 @@ def test_pallas_matches_xla_spectra():
 
     scale = np.abs(fa).max()
     for a, b in ((fa, pfa[:num]), (faw, pfaw[:num]), (hs, phs[:num])):
-        assert np.max(np.abs(a - b)) < 1e-3 * scale, np.max(np.abs(a - b))
+        assert np.max(np.abs(a - b)) < 5e-3 * scale, np.max(np.abs(a - b))  # bf16 operands
 
 
 def test_pallas_padding_region_is_consistent():
@@ -55,3 +55,27 @@ def test_pallas_padding_region_is_consistent():
     fa, _, _ = (np.asarray(jax.device_get(x)) for x in fn(jnp.asarray(chunks)))
     if fa.shape[0] > num + 8:
         assert np.all(fa[num + 8:] < 1e-3)
+
+
+def test_pyramid_demodulate_pallas_backend():
+    """The full collision pipeline through the Pallas lattice backend."""
+    from gr_lora_tpu.core.codec import decode
+    from gr_lora_tpu.models.pyramid import pyramid_demodulate
+
+    cfg = CFG
+    iq = np.concatenate([
+        np.zeros((1000, 2), np.float32),
+        0.2 * to_ri(modulate(encode(bytes([1, 2, 3, 4]), cfg), cfg,
+                             pad_front=0, pad_back=0)),
+        np.zeros((4 * cfg.num_samples, 2), np.float32),
+    ]).astype(np.float32)
+    xla = pyramid_demodulate(iq, cfg, backend="xla")
+    pls = pyramid_demodulate(iq, cfg, backend="pallas")
+    assert len(xla) == len(pls) == 1
+    # bf16 operands may flip a marginal trailing noise peak, so allow the
+    # symbol vectors to differ by at most one trailing entry.
+    a, b = xla[0], pls[0]
+    m = min(len(a), len(b))
+    assert abs(len(a) - len(b)) <= 1
+    # ... and the last assembled window may resolve differently.
+    assert np.array_equal(a[:m - 1], b[:m - 1]), (list(a), list(b))
