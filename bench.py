@@ -79,8 +79,11 @@ def main():
     ap.add_argument("--fft-factor", type=int, default=2)
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
+    # 'default' MXU precision: ~1.5-2x faster, validated byte-exact packet
+    # decode on TPU (docs/BENCH.md); override with --precision highest for
+    # bit-stable noise-floor argmaxes.
     ap.add_argument("--precision", choices=["highest", "default", "bf16"],
-                    default="highest")
+                    default="default")
     ap.add_argument("--mode", choices=["pyramid", "gateway"],
                     default="pyramid",
                     help="pyramid: dense collision front-end; gateway: "

@@ -86,6 +86,11 @@ def decode_header(symbols: np.ndarray, cfg: LoraConfig) -> HeaderInfo:
 def decode(symbols: np.ndarray, cfg: LoraConfig) -> DecodeResult:
     """uint16 chirp-bin symbols -> DecodeResult (reference: decode_impl.cc:274-430)."""
     syms = np.asarray(symbols, dtype=np.uint16)
+    if len(syms) < 8:
+        # Not even a full header block (reference silently drops these,
+        # decode_impl.cc:358).
+        return DecodeResult(np.zeros(0, np.uint8), None, None, False,
+                            "short packet")
     gray = rx_bins_to_gray(syms, cfg.sf, cfg.ldr)
 
     header_cw = deinterleave(gray[:8], cfg.sf - 2, 4)
