@@ -57,3 +57,23 @@ def test_cfo_with_noise():
     iq = iq + (rng.standard_normal(len(iq))
                + 1j * rng.standard_normal(len(iq))).astype(np.complex64) * 0.18
     assert _decode_ok(iq)
+
+
+@pytest.mark.parametrize("ppm", [0, 60, -60])
+def test_sample_clock_offset_ldr(ppm):
+    """Sample-clock offset between TX and RX: the LDR drift-compensation
+    integrator (demod_impl.cc:263-284) absorbs the per-symbol bin creep."""
+    import jax
+
+    from gr_lora_tpu.pipeline.frontend import polyphase_resample
+
+    cfg = LoraConfig(sf=10, cr=1, crc=True, ldr=True, explicit_header=True,
+                     payload_len=8, p=2, fft_factor=8)
+    payload = bytes(range(8))
+    iq = modulate(encode(payload, cfg), cfg)
+    iq_ri = np.stack([iq.real, iq.imag], -1).astype(np.float32)
+    skewed = np.asarray(jax.device_get(
+        polyphase_resample(iq_ri, 1.0 + ppm * 1e-6)))
+    pkts = demodulate(skewed, cfg)
+    ok = [bytes(decode(s, cfg).payload) for s in pkts if decode(s, cfg).ok]
+    assert ok and ok[0][3:11] == payload, (ppm, ok)
