@@ -79,3 +79,42 @@ def test_channel_isolation():
     p_sig = np.mean(chans[2] ** 2)
     p_adj = np.mean(chans[3] ** 2)
     assert p_adj < 0.05 * p_sig, (p_sig, p_adj)
+
+
+def test_gateway_app_wideband_multi_sf(tmp_path, capsys):
+    """End-to-end gateway CLI: two packets, different channels AND SFs, one
+    wideband capture."""
+    from gr_lora_tpu.apps import gateway
+
+    cfg9 = CFG.replace(sf=9)
+    from gr_lora_tpu.pipeline.frontend import polyphase_resample
+
+    freqs = channel_frequencies(NCH, SPACING)
+    ratio = int(FS_IN / (CFG.p * SPACING))
+
+    def rf(cfg, payload, ch, t0):
+        base = modulate(encode(payload, cfg), cfg, pad_front=0, pad_back=0)
+        ri = np.stack([base.real, base.imag], -1).astype(np.float32)
+        up = np.asarray(jax.device_get(polyphase_resample(ri, float(ratio))))
+        sig = (up[:, 0] + 1j * up[:, 1]).astype(np.complex64)
+        t = (t0 + np.arange(len(sig))) / FS_IN
+        return t0, sig * np.exp(2j * np.pi * freqs[ch] * t)
+
+    parts = [rf(CFG, bytes([1, 2, 3, 4]), 1, 3000),
+             rf(cfg9, bytes([5, 6, 7, 8]), 6, 9000)]
+    total = max(t0 + len(s) for t0, s in parts) + 8192
+    rng = np.random.default_rng(2)
+    iq = (rng.standard_normal(total) + 1j * rng.standard_normal(total)
+          ).astype(np.complex64) * 3e-3
+    for t0, s in parts:
+        iq[t0:t0 + len(s)] += s.astype(np.complex64)
+
+    cap = tmp_path / "wideband.cf64"
+    iq.tofile(cap)
+    rc = gateway.main([str(cap), "--samp-rate", str(FS_IN),
+                       "--channels", str(NCH), "--sfs", "7,9",
+                       "--fft-factor", "4", "--payload-len", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "ch=1" in out and "sf=7" in out and "01 02 03 04" in out
+    assert "ch=6" in out and "sf=9" in out and "05 06 07 08" in out
