@@ -121,6 +121,7 @@ class _Track:
     bin: int                 # drift-corrected bin at creation (:246-266)
     peaks: list
     updated: bool = True
+    misses: int = 0          # consecutive hops without an update (grace mode)
 
 
 @dataclasses.dataclass
@@ -134,9 +135,16 @@ _PREAMBLE, _DATA, _BROKEN = range(3)
 
 class PyramidTracker:
     """Host-side peak-track & packet state machine
-    (pyramid_demod_impl.cc:225-525 + assembly :610-767)."""
+    (pyramid_demod_impl.cc:225-525 + assembly :610-767).
 
-    def __init__(self, cfg: LoraConfig):
+    ``grace`` > 0 is a beyond-reference enhancement: a track may miss up to
+    that many consecutive hops before it is finalized, so a peak briefly
+    masked by a stronger colliding packet's main lobe (the dominant
+    weak-packet failure mode) resumes its track instead of truncating it.
+    grace=0 is exact reference behavior."""
+
+    def __init__(self, cfg: LoraConfig, grace: int = 0):
+        self.grace = grace
         self.cfg = cfg
         self.n = cfg.num_samples
         self.k = cfg.bin_size
@@ -237,6 +245,15 @@ class PyramidTracker:
         for tr in self.tracks:
             if tr.updated:
                 tr.updated = False
+                tr.misses = 0
+                keep.append(tr)
+                continue
+            # Grace only for preamble-length tracks: data tracks are at most
+            # 2*overlaps long, and letting them linger merges consecutive
+            # same-bin symbols into BROKEN tracks (hurts the strong packet).
+            if (tr.misses < self.grace
+                    and len(tr.peaks) > 2 * self.overlaps):
+                tr.misses += 1
                 keep.append(tr)
                 continue
             st, pk = self._central_peak(tr)
@@ -311,7 +328,8 @@ class PyramidTracker:
 def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
                        flush: bool = True,
                        use_native: bool | None = None,
-                       backend: str = "xla") -> list[np.ndarray]:
+                       backend: str = "xla",
+                       grace: int = 0) -> list[np.ndarray]:
     """IQ stream -> one uint16 symbol vector per (colliding) packet.
 
     Equivalent of wiring the reference pyramid_demod block over a file
@@ -334,9 +352,9 @@ def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
         use_native = _native.available()
     if use_native:
         from .. import native as _native
-        tracker = _native.PyramidTracker(cfg)
+        tracker = _native.PyramidTracker(cfg, grace=grace)
     else:
-        tracker = PyramidTracker(cfg)
+        tracker = PyramidTracker(cfg, grace=grace)
 
     for t in range(nh):
         v = valid[t]
@@ -348,6 +366,6 @@ def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
         else:
             tracker.step()
     if flush:
-        for _ in range(tracker.flush_hops()):
+        for _ in range(tracker.flush_hops() + grace):
             tracker.step()
     return tracker.drain() if use_native else tracker.symbols_out

@@ -81,7 +81,8 @@ def _load() -> ctypes.CDLL | None:
         lib.lora_whitening_sequence.argtypes = [u8p]
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.lora_pyramid_create.restype = ctypes.c_void_p
-        lib.lora_pyramid_create.argtypes = [ctypes.c_int32] * 4 + [ctypes.c_float]
+        lib.lora_pyramid_create.argtypes = ([ctypes.c_int32] * 4
+                                            + [ctypes.c_float, ctypes.c_int32])
         lib.lora_pyramid_destroy.argtypes = [ctypes.c_void_p]
         lib.lora_pyramid_step.argtypes = [ctypes.c_void_p, i32p, f32p, f32p,
                                           ctypes.c_int32]
@@ -220,12 +221,12 @@ class PyramidTracker:
     """Native pyramid peak-track state machine; drop-in for
     models.pyramid.PyramidTracker's step/flush surface."""
 
-    def __init__(self, cfg: LoraConfig):
+    def __init__(self, cfg: LoraConfig, grace: int = 0):
         lib = _load()
         assert lib is not None, "native library unavailable"
         self._lib = lib
         self._h = lib.lora_pyramid_create(cfg.sf, cfg.p, cfg.fft_factor,
-                                          int(cfg.ldr), cfg.threshold)
+                                          int(cfg.ldr), cfg.threshold, grace)
         if not self._h:
             raise MemoryError("lora_pyramid_create failed")
 

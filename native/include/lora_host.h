@@ -57,8 +57,11 @@ void lora_whitening_sequence(uint8_t* dst);
  * behavior-identical to models/pyramid.PyramidTracker). ---- */
 typedef struct lora_pyramid lora_pyramid;
 
+/* grace: consecutive idle hops a preamble-length track may survive
+ * (0 = exact reference behavior). */
 lora_pyramid* lora_pyramid_create(int32_t sf, int32_t p, int32_t fft_factor,
-                                  int32_t ldr, float threshold);
+                                  int32_t ldr, float threshold,
+                                  int32_t grace);
 void lora_pyramid_destroy(lora_pyramid* t);
 /* Feed one hop's extracted peaks, sorted ascending by bin (pass npeaks=0
  * for an empty hop). */

@@ -34,6 +34,7 @@ struct Track {
   int32_t bin;  // drift-corrected bin at creation
   std::vector<Peak> peaks;
   bool updated = true;
+  int32_t misses = 0;  // consecutive idle hops (grace mode)
 };
 
 struct Packet {
@@ -49,6 +50,7 @@ struct lora_pyramid {
   int fft_factor;
   int bin_tolerance;
   float threshold;
+  int grace;
   int ttl0 = 6 * OVERLAPS;
   int hop;
   int64_t ts_ref = 0;
@@ -57,12 +59,13 @@ struct lora_pyramid {
   std::vector<Packet> packets;
   std::deque<std::vector<uint16_t>> out;
 
-  lora_pyramid(int sf, int p, int ff, int ldr, float thr)
+  lora_pyramid(int sf, int p, int ff, int ldr, float thr, int grc)
       : n(p << sf),
         k(ff << sf),
         fft_factor(ff),
         bin_tolerance(ldr ? ff * 2 : ff / 2),
         threshold(thr),
+        grace(grc),
         hop((p << sf) / OVERLAPS) {}
 
   // find_and_add_peak (:225-272): peaks must arrive sorted by bin.
@@ -178,6 +181,13 @@ struct lora_pyramid {
     for (auto& tr : tracks) {
       if (tr.updated) {
         tr.updated = false;
+        tr.misses = 0;
+        keep.push_back(std::move(tr));
+        continue;
+      }
+      // Grace (beyond-reference): only preamble-length tracks may idle.
+      if (tr.misses < grace && (int)tr.peaks.size() > 2 * OVERLAPS) {
+        tr.misses++;
         keep.push_back(std::move(tr));
         continue;
       }
@@ -259,8 +269,9 @@ struct lora_pyramid {
 extern "C" {
 
 lora_pyramid* lora_pyramid_create(int32_t sf, int32_t p, int32_t fft_factor,
-                                  int32_t ldr, float threshold) {
-  return new lora_pyramid(sf, p, fft_factor, ldr, threshold);
+                                  int32_t ldr, float threshold,
+                                  int32_t grace) {
+  return new lora_pyramid(sf, p, fft_factor, ldr, threshold, grace);
 }
 
 void lora_pyramid_destroy(lora_pyramid* t) { delete t; }

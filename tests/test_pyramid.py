@@ -102,3 +102,41 @@ def test_collision_offset_sweep():
         both += (PDU_1 in pdus) and (PDU_2 in pdus)
     assert strong >= 7, f"strong packet lost too often: {strong}/8"
     assert both >= 3, f"weak packet recovered only {both}/8"
+
+
+def test_grace_mode_recovers_masked_preamble():
+    """Beyond-reference: grace=8 lets a preamble track survive brief masking
+    by the strong packet's main lobe, recovering collisions the exact
+    reference heuristics lose."""
+    # An offset where reference behavior (grace=0) loses the weak packet.
+    off2 = 1000 + 7 * _N + _N // 8 + 51      # sweep k=3 alignment
+    iq = _collision(off2)
+
+    from gr_lora_tpu.models.pyramid import pyramid_demodulate
+
+    def pdus(grace):
+        return {bytes(r.payload).hex()
+                for r in (decode(s, CFG)
+                          for s in pyramid_demodulate(iq, CFG, grace=grace))
+                if r.ok}
+
+    assert PDU_2 not in pdus(0)          # reference parity loses it...
+    both = pdus(8)
+    assert PDU_1 in both and PDU_2 in both   # ...grace mode recovers both
+
+
+def test_grace_native_matches_python():
+    import numpy as np
+
+    from gr_lora_tpu import native
+    from gr_lora_tpu.models.pyramid import pyramid_demodulate
+
+    if not native.available():
+        pytest.skip("native unavailable")
+    off2 = 1000 + 7 * _N + _N // 8 + 51
+    iq = _collision(off2)
+    py = pyramid_demodulate(iq, CFG, grace=8, use_native=False)
+    nat = pyramid_demodulate(iq, CFG, grace=8, use_native=True)
+    assert len(py) == len(nat)
+    for a, b in zip(py, nat):
+        assert np.array_equal(a, b)
