@@ -99,3 +99,20 @@ def test_decode_rejects_corrupt_header():
         syms[i] = (syms[i] + d) % 256
     res = decode(syms, cfg)
     assert not res.ok
+
+
+def test_max_payload_roundtrip():
+    """255-byte payload (the wire-format maximum) across extreme SFs."""
+    import numpy as np
+
+    from gr_lora_tpu import LoraConfig
+    from gr_lora_tpu.core.codec import decode, encode
+
+    rng = np.random.default_rng(0)
+    payload = bytes(rng.integers(0, 256, 255, dtype=np.uint8))
+    for sf in (7, 12):
+        cfg = LoraConfig(sf=sf, cr=4, crc=True, ldr=(sf == 12),
+                         explicit_header=True, payload_len=255)
+        res = decode(encode(payload, cfg), cfg)
+        assert res.ok and res.crc_ok
+        assert bytes(res.payload[3:3 + 255]) == payload
