@@ -1,5 +1,16 @@
 """Multi-chip distribution: device meshes, halo exchange, gateway receiver."""
 
-from .gateway import GatewayPlan, make_gateway, make_mesh
+from .gateway import (
+    GatewayPlan,
+    gateway_receive,
+    left_halo_len,
+    make_gateway,
+    make_mesh,
+    right_halo_len,
+)
+from .multi_sf import MultiSFReceiver, SfPacket
 
-__all__ = ["GatewayPlan", "make_gateway", "make_mesh"]
+__all__ = [
+    "GatewayPlan", "gateway_receive", "left_halo_len", "make_gateway",
+    "make_mesh", "right_halo_len", "MultiSFReceiver", "SfPacket",
+]

@@ -74,3 +74,13 @@ def test_weak_low_snr_ser():
         errs += int(np.sum(pkts[0] != syms))
         tot += len(syms)
     assert errs / tot < 0.15, f"SER {errs / tot} at -12 dB"
+
+
+def test_weak_packet_duration_matches_waveform():
+    from gr_lora_tpu.models.weak import modulate_weak, weak_packet_duration
+
+    for sym_num in (1, 2, 3, 8, 13):
+        cfg = _cfg(weak_sym_num=sym_num)
+        syms = _rng_syms(cfg, sym_num)
+        iq = modulate_weak(syms, cfg, pad_front=0, pad_back=0)
+        assert len(iq) == weak_packet_duration(sym_num, cfg), sym_num
