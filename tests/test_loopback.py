@@ -91,3 +91,48 @@ def test_loopback_cfo_tolerance():
     assert len(pkts) == 1
     d = decode(pkts[0], cfg)
     assert d.ok and d.crc_ok and bytes(d.payload[3:8]) == payload
+
+
+def test_back_to_back_packets_minimal_gap():
+    """Two packets separated by only the FSM's reset/prefill budget are both
+    decoded (stream recycling, reference S_OUT -> S_RESET path)."""
+    import numpy as np
+
+    from gr_lora_tpu.core.codec import decode, encode
+    from gr_lora_tpu.models.demodulator import demodulate
+    from gr_lora_tpu.models.modulator import modulate
+    from gr_lora_tpu.ops.cplx import to_ri
+
+    cfg = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
+                     payload_len=4, p=2, fft_factor=8)
+    n = cfg.num_samples
+    pkt = to_ri(modulate(encode(bytes([5, 6, 7, 8]), cfg), cfg,
+                         pad_front=0, pad_back=0))
+    gap = 8 * n                      # reset(1) + prefill(4) + margin
+    iq = np.concatenate([
+        np.zeros((2 * n, 2), np.float32), pkt,
+        np.zeros((gap, 2), np.float32), pkt,
+        np.zeros((6 * n, 2), np.float32),
+    ])
+    pkts = demodulate(iq, cfg)
+    ok = [decode(s, cfg) for s in pkts]
+    assert sum(1 for r in ok if r.ok and bytes(r.payload[3:7]) == bytes([5, 6, 7, 8])) == 2
+
+
+def test_packet_at_stream_start():
+    """A packet whose preamble begins at sample 0 still decodes (the
+    demodulator's own history prefill supplies the lead-in)."""
+    import numpy as np
+
+    from gr_lora_tpu.core.codec import decode, encode
+    from gr_lora_tpu.models.demodulator import demodulate
+    from gr_lora_tpu.models.modulator import modulate
+    from gr_lora_tpu.ops.cplx import to_ri
+
+    cfg = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
+                     payload_len=4, p=2, fft_factor=8)
+    iq = to_ri(modulate(encode(bytes([1, 1, 2, 2]), cfg), cfg,
+                        pad_front=0))
+    pkts = demodulate(iq, cfg)
+    assert any(decode(s, cfg).ok and bytes(decode(s, cfg).payload[3:7])
+               == bytes([1, 1, 2, 2]) for s in pkts)

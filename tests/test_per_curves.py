@@ -50,3 +50,32 @@ def test_sf_gain():
             good += bool(r.payloads)
         ok[sf] = good
     assert ok[10] > ok[7], ok
+
+
+def test_weak_per_curve():
+    """Weak-demod PER shape: clean at -8 dB, degraded at -16 dB."""
+    from gr_lora_tpu.models.weak import modulate_weak, weak_demodulate
+
+    cfg = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=False,
+                     payload_len=6, p=2, fft_factor=8, weak_sym_num=12)
+    rng0 = np.random.default_rng(0)
+    syms = rng0.integers(0, cfg.num_symbols, 12).astype(np.uint16)
+    iq = modulate_weak(syms, cfg)
+
+    def per(snr_db):
+        fails = 0
+        for t in range(TRIALS):
+            rng = np.random.default_rng(500 + t)
+            sigma = np.sqrt(10 ** (-snr_db / 10) / 2)
+            noisy = (iq + sigma * (
+                rng.standard_normal(len(iq))
+                + 1j * rng.standard_normal(len(iq)))).astype(np.complex64)
+            pkts = weak_demodulate(noisy, cfg)
+            ok = len(pkts) == 1 and np.array_equal(pkts[0], syms)
+            fails += not ok
+        return fails / TRIALS
+
+    lo, hi = per(-8.0), per(-16.0)
+    assert lo <= 1 / TRIALS, lo      # near-clean at -8 dB (exact-match PER)
+    assert hi >= 0.5, hi
+    assert lo < hi
