@@ -84,10 +84,11 @@ def main():
     # bit-stable noise-floor argmaxes.
     ap.add_argument("--precision", choices=["highest", "default", "bf16"],
                     default="default")
-    ap.add_argument("--mode", choices=["pyramid", "gateway"],
+    ap.add_argument("--mode", choices=["pyramid", "gateway", "scan"],
                     default="pyramid",
                     help="pyramid: dense collision front-end; gateway: "
-                         "vmapped demod FSM over many channels")
+                         "vmapped demod FSM over many channels; scan: "
+                         "detection-gated preamble sweep (all SFs)")
     ap.add_argument("--channels", type=int, default=16)
     args = ap.parse_args()
 
@@ -104,6 +105,8 @@ def main():
 
     if args.mode == "gateway":
         return bench_gateway(cfg, args)
+    if args.mode == "scan":
+        return bench_scan(cfg, args)
 
     iq, hop, total = build_inputs(cfg, num_frames)
     step = make_step(cfg, num_frames, hop)
@@ -182,6 +185,53 @@ def bench_gateway(cfg, args):
     print(f"# device={dev.device_kind} mode=gateway channels={channels} "
           f"sf={cfg.sf} p={cfg.p} precision={cfg.precision} "
           f"fft_factor={cfg.fft_factor} total={total} iters={iters} "
+          f"wall={dt:.3f}s", file=sys.stderr)
+
+
+def bench_scan(cfg, args):
+    """Idle-air cost of the detection-gated all-SF gateway: the dense
+    preamble scan over channels x SFs (dist/triggered.py stage 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gr_lora_tpu.dist.triggered import make_preamble_scan
+
+    channels = args.channels
+    sfs = (7, 8, 9, 10, 11, 12)
+    n7 = (1 << 7) * cfg.p
+    t = (1024 if not args.quick else 96) * n7
+    iters = args.iters or (2 if args.quick else 10)
+    rng = np.random.default_rng(0)
+    iq = jnp.asarray(rng.normal(0, 0.01, (channels, t, 2)).astype(np.float32))
+
+    scans = []
+    for sf in sfs:
+        c = cfg.replace(sf=sf, ldr=(1 << sf) / 125e3 > 16e-3)
+        scans.append(make_preamble_scan(c, t // c.num_samples, 8))
+
+    def sweep(x):
+        return [s(x) for s in scans]
+
+    jax.device_get(sweep(iq))
+    jax.device_get(sweep(iq))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = sweep(iq)
+    jax.device_get(out)
+    dt = time.perf_counter() - t0
+
+    # Samples scanned per second, counted once per SF band processed.
+    sps = channels * t * len(sfs) * iters / dt
+    baseline_sps = 2 * 125e3
+    print(json.dumps({
+        "metric": "allsf_preamble_scan_throughput",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / baseline_sps, 2),
+    }))
+    dev = jax.devices()[0]
+    print(f"# device={dev.device_kind} mode=scan channels={channels} "
+          f"sfs={sfs} precision={cfg.precision} t={t} iters={iters} "
           f"wall={dt:.3f}s", file=sys.stderr)
 
 
