@@ -369,3 +369,73 @@ def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
         for _ in range(tracker.flush_hops() + grace):
             tracker.step()
     return tracker.drain() if use_native else tracker.symbols_out
+
+
+class StreamingPyramidDemodulator:
+    """Block-streaming collision decoder: the dense lattice runs per block
+    (fixed shapes, one jit), while the tracker — whose ts_ref/bin_ref carry
+    the hop phase — persists across blocks, so packets spanning block
+    boundaries assemble exactly as in one-shot mode.  The GR-streaming
+    analog of pyramid_demodulate."""
+
+    def __init__(self, cfg: LoraConfig, block_hops: int = 2048,
+                 max_peaks: int = 16, grace: int = 0,
+                 use_native: bool | None = None):
+        self.cfg = cfg
+        self.block_hops = block_hops
+        self.max_peaks = max_peaks
+        n = cfg.num_samples
+        self._hop = n // PYRAMID_OVERLAP_FACTOR
+        self._overlap = n - self._hop     # samples shared between blocks
+        if use_native is None:
+            from .. import native as _native
+            use_native = _native.available()
+        self._native = use_native
+        if use_native:
+            from .. import native as _native
+            self.tracker = _native.PyramidTracker(cfg, grace=grace)
+        else:
+            self.tracker = PyramidTracker(cfg, grace=grace)
+        self._grace = grace
+        self._pending = np.zeros((0, 2), np.float32)
+        self._lattice = make_peak_lattice(cfg, block_hops, max_peaks)
+        self._drained = 0
+
+    def _results(self) -> list[np.ndarray]:
+        if self._native:
+            return self.tracker.drain()
+        out = self.tracker.symbols_out[self._drained:]
+        self._drained = len(self.tracker.symbols_out)
+        return out
+
+    def feed(self, iq) -> list[np.ndarray]:
+        if np.iscomplexobj(iq):
+            iq = to_ri(np.asarray(iq))
+        buf = np.concatenate(
+            [self._pending, np.asarray(iq, np.float32).reshape(-1, 2)])
+        need = self.block_hops * self._hop + self._overlap
+        out: list[np.ndarray] = []
+        while buf.shape[0] >= need:
+            block = np.ascontiguousarray(buf[:need])
+            bins, h, hs, valid = (
+                np.asarray(x) for x in
+                jax.device_get(self._lattice(jnp.asarray(block))))
+            for t in range(self.block_hops):
+                v = valid[t]
+                if v.any():
+                    order = np.argsort(bins[t][v], kind="stable")
+                    self.tracker.step(bins[t][v][order], h[t][v][order],
+                                      hs[t][v][order])
+                else:
+                    self.tracker.step()
+            out += self._results()
+            buf = buf[self.block_hops * self._hop:]
+        self._pending = buf
+        return out
+
+    def flush(self) -> list[np.ndarray]:
+        """Zero-pad the residue to a whole block and expire all state."""
+        drain_hops = (self.tracker.flush_hops() + self._grace
+                      + self.block_hops)
+        pad = drain_hops * self._hop + self._overlap
+        return self.feed(np.zeros((pad, 2), np.float32))

@@ -140,3 +140,27 @@ def test_grace_native_matches_python():
     assert len(py) == len(nat)
     for a, b in zip(py, nat):
         assert np.array_equal(a, b)
+
+
+def test_streaming_pyramid_matches_batch():
+    """Chunked feeding through StreamingPyramidDemodulator reproduces the
+    one-shot collision result, including packets spanning block boundaries."""
+    from gr_lora_tpu.models.pyramid import (StreamingPyramidDemodulator,
+                                            pyramid_demodulate)
+
+    off2 = 1000 + 16 * _N + 4 * _N // 8 + 204
+    iq = _collision(off2)
+    batch = pyramid_demodulate(iq, CFG)
+
+    sp = StreamingPyramidDemodulator(CFG, block_hops=512)
+    got = []
+    step = 9001                          # awkward chunk size on purpose
+    from gr_lora_tpu.ops.cplx import to_ri
+    iq_ri = to_ri(iq)
+    for i in range(0, len(iq_ri), step):
+        got += sp.feed(iq_ri[i:i + step])
+    got += sp.flush()
+
+    assert len(got) == len(batch), (len(got), len(batch))
+    for a, b in zip(got, batch):
+        assert np.array_equal(a, b)
