@@ -63,3 +63,15 @@ def test_streaming_checkpoint_resume():
     assert len(got) == 1
     res = core_decode(got[0][1], cfg)
     assert res.ok and bytes(res.payload[:4]) == bytes([9, 9, 9, 9])
+
+
+def test_blocks_weak_demod_factory():
+    """weak_demod factory round-trips symbols through the block API."""
+    from gr_lora_tpu.models.weak import modulate_weak
+
+    wd = blocks.weak_demod(8, False, 6, 1, True, False, sym_num=10,
+                           fft_factor=8, fs_bw_ratio=2)
+    rng = np.random.default_rng(3)
+    syms = rng.integers(0, 256, 10).astype(np.uint16)
+    pkts = wd(modulate_weak(syms, wd.cfg))
+    assert len(pkts) == 1 and np.array_equal(pkts[0], syms)
