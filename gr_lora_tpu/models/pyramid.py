@@ -143,7 +143,11 @@ class PyramidTracker:
     weak-packet failure mode) resumes its track instead of truncating it.
     grace=0 is exact reference behavior."""
 
-    def __init__(self, cfg: LoraConfig, grace: int = 0):
+    def __init__(self, cfg: LoraConfig, grace: int = 0,
+                 apex_algorithm: str = "segment"):
+        if apex_algorithm not in ("segment", "linear_regression"):
+            raise ValueError(apex_algorithm)
+        self.apex_algorithm = apex_algorithm
         self.grace = grace
         self.cfg = cfg
         self.n = cfg.num_samples
@@ -176,13 +180,43 @@ class PyramidTracker:
             matched.peaks.append(_Peak(self.ts_ref, int(b), float(h),
                                        float(hsngl)))
 
-    # -- apex extraction (get_apex :274-317, SEGMENT algorithm) --
-    @staticmethod
-    def _apex(track_peaks, is_preamble):
+    # -- apex extraction (get_apex :274-317) --
+    def _apex(self, track_peaks, is_preamble):
         key = [(p.h_single if is_preamble else p.h) for p in track_peaks]
         idx = int(np.argmax(key))
         p = track_peaks[idx]
-        return _Peak(p.ts, p.bin, float(key[idx]), p.h_single)
+        seg = _Peak(p.ts, p.bin, float(key[idx]), p.h_single)
+        if self.apex_algorithm == "segment":
+            return seg
+        # LINEAR_REGRESSION variant (pyramid_demod.h:32-35,
+        # pyramid_demod_impl.cc:300-316 — compiled out in the reference
+        # build): intersect rising/falling least-squares lines of the peak
+        # trajectory for a sub-hop apex estimate; needs >= 4 points and an
+        # interior maximum, else fall back to the segment apex.
+        h = np.asarray(key, dtype=np.float64)
+        ln = len(h)
+        if idx < 1 or idx > ln - 2 or ln < 4:
+            return seg
+
+        def fit(lo, hi):
+            x = np.arange(lo, hi + 1, dtype=np.float64)
+            k, b = np.polyfit(x, h[lo:hi + 1], 1)
+            return k, b
+
+        l_idx = idx - 1 if h[idx - 1] > h[idx + 1] else idx
+        if l_idx < 1 or l_idx + 1 >= ln - 1 + 1:
+            return seg
+        k1, b1 = fit(0, l_idx)
+        k2, b2 = fit(l_idx + 1, ln - 1)
+        if k1 == k2:
+            return seg
+        x = -(b2 - b1) / (k2 - k1)
+        lp = track_peaks[l_idx]
+        ts = _pmod(lp.ts + int(round((x - l_idx) * self.n / self.overlaps)),
+                   _TS_MOD)
+        bn = _pmod(lp.bin + int(round((x - l_idx) * self.k / self.overlaps)),
+                   self.k)
+        return _Peak(ts, bn, float(k1 * x + b1), p.h_single)
 
     # -- track classification (get_central_peak :319-391) --
     def _central_peak(self, track: _Track):
