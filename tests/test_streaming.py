@@ -68,3 +68,18 @@ def test_stream_packet_across_block_boundary():
     assert len(got) == 1
     r = decode(got[0][1], CFG)
     assert r.ok and bytes(r.payload[:4]) == PAYLOAD
+
+
+def test_stream_explicit_header_across_boundaries():
+    """Explicit-header packets (in-jit header parse sets the packet length
+    mid-packet) survive tiny streaming blocks."""
+    cfg = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
+                     payload_len=8, p=2, fft_factor=8)
+    payload = bytes([0x42, 0x43, 0x44])
+    pkt = to_ri(modulate(encode(payload, cfg), cfg))
+    sd = StreamingDemodulator(cfg, block_len=3 * cfg.num_samples)
+    got = sd.feed(pkt) + sd.flush()
+    assert len(got) == 1
+    r = decode(got[0][1], cfg)
+    assert r.ok and r.header.payload_len == 3
+    assert bytes(r.payload[3:6]) == payload and r.crc_ok
