@@ -84,3 +84,61 @@ def test_weak_packet_duration_matches_waveform():
         syms = _rng_syms(cfg, sym_num)
         iq = modulate_weak(syms, cfg, pad_front=0, pad_back=0)
         assert len(iq) == weak_packet_duration(sym_num, cfg), sym_num
+
+
+# ---------------------------------------------------------------------------
+# Weak chain to bytes (reference wiring: weak_demod -> decode,
+# weak_demod_impl.cc:451-471 publishes the symbol PDU that decode consumes).
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("cr,ldr,crc", [
+    (1, False, True), (4, False, True), (2, False, False),
+    (1, True, True), (3, True, False),
+])
+def test_weak_chain_to_bytes(cr, ldr, crc):
+    """encode -> weak-layout TX -> weak demod -> decode, byte-exact."""
+    from gr_lora_tpu.core.codec import decode, encode
+
+    payload = bytes([0x11, 0x22, 0x33, 0x44, 0x55])
+    base = _cfg(cr=cr, ldr=ldr, crc=crc, payload_len=len(payload))
+    cfg = base.replace(weak_sym_num=base.packet_symbol_len())
+    tx_syms = encode(payload, cfg)
+    assert len(tx_syms) == cfg.weak_sym_num
+    pkts = weak_demodulate(modulate_weak(tx_syms, cfg), cfg)
+    assert len(pkts) == 1
+    res = decode(pkts[0], cfg)
+    assert res.ok
+    if crc:
+        assert res.crc_ok
+    assert bytes(res.payload[:len(payload)]) == payload
+
+
+def test_weak_chain_to_bytes_explicit_header():
+    from gr_lora_tpu.core.codec import decode, encode
+
+    payload = bytes([7, 7, 7, 7, 7])
+    base = _cfg(cr=1, explicit_header=True, payload_len=len(payload))
+    cfg = base.replace(weak_sym_num=base.packet_symbol_len())
+    tx_syms = encode(payload, cfg)
+    pkts = weak_demodulate(modulate_weak(tx_syms, cfg), cfg)
+    assert len(pkts) == 1
+    res = decode(pkts[0], cfg)
+    assert res.ok and res.header is not None and res.header.is_valid
+    assert res.header.payload_len == len(payload)
+    assert res.crc_ok
+    assert bytes(res.payload[3:3 + len(payload)]) == payload
+
+
+def test_weak_chain_to_bytes_noisy():
+    from gr_lora_tpu.core.codec import decode, encode
+
+    payload = bytes(range(1, 7))
+    base = _cfg(cr=1, payload_len=len(payload))
+    cfg = base.replace(weak_sym_num=base.packet_symbol_len())
+    tx_syms = encode(payload, cfg)
+    iq = _noisy(modulate_weak(tx_syms, cfg), -10.0, seed=42)
+    pkts = weak_demodulate(iq, cfg)
+    assert len(pkts) == 1
+    res = decode(pkts[0], cfg)
+    assert res.ok and res.crc_ok
+    assert bytes(res.payload[:len(payload)]) == payload
