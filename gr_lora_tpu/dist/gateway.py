@@ -61,7 +61,7 @@ def right_halo_len(cfg: LoraConfig) -> int:
 
 
 class GatewayPlan(NamedTuple):
-    fn: object            # jitted: iq [C, T, 2] -> (syms, lens, pos, cnt)
+    fn: object            # jitted: iq [C, T, 2] -> (syms, lens, pos, cnt, dropped)
     mesh: Mesh
     in_sharding: NamedSharding
     block_len: int        # samples per time shard (own region)
@@ -76,7 +76,9 @@ def make_gateway(cfg: LoraConfig, mesh: Mesh, num_channels: int,
     ``P('ch', 't')``.  Output (all sharded the same way):
     ``syms uint16[C, nt*max_packets, MS]``, ``lens int32[C, nt*max_packets]``,
     ``pos int32[C, nt*max_packets]`` (global sample index of detection, -1 for
-    empty slots), ``cnt int32[C, nt]``.
+    empty slots), ``cnt int32[C, nt]``, ``dropped int32[C, nt]`` (completed
+    packets that overflowed a shard's ``max_packets`` slots — visible, not
+    silent; the reference only prints).
     """
     nt = mesh.shape["t"]
     nch = mesh.shape["ch"]
@@ -104,7 +106,7 @@ def make_gateway(cfg: LoraConfig, mesh: Mesh, num_channels: int,
                                  [(i + 1, i) for i in range(nt - 1)])
         extended = jnp.concatenate([left, iq_local, right], axis=1)
 
-        syms, lens, pos, cnt = jax.vmap(demod)(extended)
+        syms, lens, pos, cnt, dropped = jax.vmap(demod)(extended)
         # Ownership: detection index inside [lh, lh + local_t).
         own = (pos >= lh) & (pos < lh + local_t)
         # Compact owned packets to the front of each channel's slot array so
@@ -118,13 +120,13 @@ def make_gateway(cfg: LoraConfig, mesh: Mesh, num_channels: int,
         gpos = jnp.where(own, gpos, -1)
         gpos = jnp.take_along_axis(gpos, order, axis=1)
         cnt = jnp.sum(own, axis=1, dtype=jnp.int32)[:, None]
-        return syms, lens, gpos, cnt
+        return syms, lens, gpos, cnt, dropped[:, None]
 
     inner = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=P("ch", "t", None),
         out_specs=(P("ch", "t", None), P("ch", "t"), P("ch", "t"),
-                   P("ch", "t")),
+                   P("ch", "t"), P("ch", "t")),
         # The demod FSM's lax.cond branches mix varying and invariant
         # constants; skip the VMA (varying-manual-axes) static check.
         check_vma=False,
@@ -134,14 +136,18 @@ def make_gateway(cfg: LoraConfig, mesh: Mesh, num_channels: int,
     return GatewayPlan(fn, mesh, in_sharding, block_len, max_packets)
 
 
-def gateway_receive(plan: GatewayPlan, iq: np.ndarray, cfg: LoraConfig):
+def gateway_receive(plan: GatewayPlan, iq: np.ndarray, cfg: LoraConfig,
+                    return_stats: bool = False):
     """Host convenience: run the gateway step and collect per-channel packet
-    symbol lists (uint16 arrays), position-sorted."""
-    syms, lens, pos, cnt = jax.device_get(plan.fn(iq))
+    symbol lists (uint16 arrays), position-sorted.  With ``return_stats``,
+    also returns {"dropped": int} so slot overflow is observable."""
+    syms, lens, pos, cnt, dropped = jax.device_get(plan.fn(iq))
     out = []
     for c in range(iq.shape[0]):
         live = [(pos[c, r], syms[c, r, :lens[c, r]].copy())
                 for r in range(syms.shape[1]) if pos[c, r] >= 0]
         live.sort(key=lambda t: t[0])
         out.append(live)
+    if return_stats:
+        return out, {"dropped": int(np.sum(dropped))}
     return out

@@ -49,6 +49,8 @@ class MultiSFReceiver:
         self.max_packets = max_packets
         self._fns: dict[int, object] = {}
         self._num_samples = num_samples
+        #: Packets lost to slot overflow (raise max_packets if nonzero).
+        self.dropped = 0
 
     def _fn(self, sf: int, total: int):
         key = (sf, total)
@@ -66,8 +68,9 @@ class MultiSFReceiver:
         total = iq.shape[1]
         out: list[SfPacket] = []
         for sf, cfg in self.cfgs.items():
-            syms, lens, pos, cnt = (
+            syms, lens, pos, cnt, dropped = (
                 np.asarray(x) for x in jax.device_get(self._fn(sf, total)(iq)))
+            self.dropped += int(np.sum(dropped))
             for c in range(iq.shape[0]):
                 for r in range(int(cnt[c])):
                     s = syms[c, r, :lens[c, r]].copy()

@@ -47,8 +47,9 @@ def scan_window(cfg: LoraConfig) -> int:
 @lru_cache(maxsize=None)
 def make_preamble_scan(cfg: LoraConfig, num_windows: int, max_events: int = 8,
                        snr_gate: float = 3.0):
-    """Jitted: iq [C, T, 2] -> (starts int32[C, E], valid bool[C, E]) — the
-    window indices where a fresh preamble run begins."""
+    """Jitted: iq [C, T, 2] -> (starts int32[C, E], valid bool[C, E],
+    nhits int32[C]) — the window indices where a fresh preamble run begins,
+    plus the total hit count (so hits beyond max_events are observable)."""
     n = cfg.num_samples
     drift = cfg.preamble_drift_max
     k = cfg.bin_size
@@ -90,7 +91,8 @@ def make_preamble_scan(cfg: LoraConfig, num_windows: int, max_events: int = 8,
         valid = vals > 0.0
         # Back up to the start of the run.
         starts = jnp.maximum(starts - (need - 1), 0)
-        return starts.astype(jnp.int32), valid
+        nhits = jnp.sum(hit, axis=1, dtype=jnp.int32)
+        return starts.astype(jnp.int32), valid, nhits
 
     return jax.jit(run)
 
@@ -115,6 +117,10 @@ class TriggeredReceiver:
         self.max_events = max_events
         self.snr_gate = snr_gate
         self._demods: dict = {}
+        #: Detections beyond the max_events slots (raise it if nonzero).
+        self.dropped_events = 0
+        #: Demod-FSM packet-slot overflow across all triggered windows.
+        self.dropped_packets = 0
 
     def _demod(self, cfg: LoraConfig, win: int):
         key = (cfg.sf, win)
@@ -136,8 +142,10 @@ class TriggeredReceiver:
             if nw < REQUIRED_PREAMBLE_CHIRPS + 1:
                 continue
             scan = make_preamble_scan(cfg, nw, self.max_events, self.snr_gate)
-            starts, valid = (np.asarray(x) for x in
-                             jax.device_get(scan(jnp.asarray(iq))))
+            starts, valid, nhits = (np.asarray(x) for x in
+                                    jax.device_get(scan(jnp.asarray(iq))))
+            self.dropped_events += int(
+                np.sum(np.maximum(nhits - self.max_events, 0)))
             win = min(scan_window(cfg), t)
             events = []       # (channel, sample_start)
             for ch in range(c):
@@ -155,9 +163,10 @@ class TriggeredReceiver:
             if not events:
                 continue
             slices = np.stack([iq[ch, s:s + win] for ch, s in events])
-            syms, lens, pos, cnt = (
+            syms, lens, pos, cnt, dropped = (
                 np.asarray(x) for x in
                 jax.device_get(self._demod(cfg, win)(jnp.asarray(slices))))
+            self.dropped_packets += int(np.sum(dropped))
             for i, (ch, s) in enumerate(events):
                 for r in range(int(cnt[i])):
                     symbols = syms[i, r, :lens[i, r]].copy()

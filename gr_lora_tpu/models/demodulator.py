@@ -316,7 +316,10 @@ def _machine(cfg: LoraConfig, max_packets: int):
             out_len = out_len.at[row].set(jnp.where(keep, sym_cnt, out_len[row]))
             out_pos = out_pos.at[row].set(
                 jnp.where(keep, pkt_start + s.base, out_pos[row]))
-            return out_syms, out_len, out_pos, jnp.minimum(out_cnt + 1, mp)
+            # out_cnt counts every completed packet (uncapped) so slot
+            # overflow is observable; drivers report min(cnt, mp) live slots
+            # and cnt - mp dropped (the reference only printf's, SURVEY §5).
+            return out_syms, out_len, out_pos, out_cnt + 1
 
         out_syms, out_len, out_pos, out_cnt = jax.lax.cond(
             do_out, emit, lambda a: a,
@@ -342,7 +345,8 @@ def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
 
     Returns fn(iq_ri float32[num_samples_total, 2]) ->
     (packets uint16[max_packets, MS], lengths int32[max_packets],
-     positions int32[max_packets], count int32).
+     positions int32[max_packets], count int32, dropped int32) where
+    ``dropped`` counts completed packets that found no free output slot.
     """
     n = cfg.num_samples
     body, init_state = _machine(cfg, max_packets)
@@ -364,7 +368,10 @@ def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
         final = jax.lax.while_loop(cond, partial(body, iq), init)
         if _DEBUG_FINAL_STATE:
             return final
-        return final.out_syms, final.out_len, final.out_pos, final.out_cnt
+        mp = final.out_len.shape[0]
+        return (final.out_syms, final.out_len, final.out_pos,
+                jnp.minimum(final.out_cnt, mp),
+                jnp.maximum(final.out_cnt - mp, 0))
 
     return run
 
@@ -391,8 +398,8 @@ def demod_stream_fn(cfg: LoraConfig, block_len: int, max_packets: int = 8):
 
     Returns (step, init) where
     ``step(carry, block float32[block_len, 2]) -> (carry, outs)`` and outs is
-    (packets, lengths, positions, count) for packets *completed during this
-    block* (positions are global stream sample indices).
+    (packets, lengths, positions, count, dropped) for packets *completed
+    during this block* (positions are global stream sample indices).
     """
     n = cfg.num_samples
     tail_len = stream_tail_len(cfg)
@@ -421,7 +428,9 @@ def demod_stream_fn(cfg: LoraConfig, block_len: int, max_packets: int = 8):
             return (st.ptr + n <= buf_len) & (st.it < max_iters)
 
         final = jax.lax.while_loop(cond, partial(body, iq), s)
-        outs = (final.out_syms, final.out_len, final.out_pos, final.out_cnt)
+        outs = (final.out_syms, final.out_len, final.out_pos,
+                jnp.minimum(final.out_cnt, mp),
+                jnp.maximum(final.out_cnt - mp, 0))
         # Re-anchor coordinates for the next block: its buffer starts at the
         # current buffer's sample ``block_len``.
         shift = jnp.int32(block_len)
@@ -449,6 +458,9 @@ class StreamingDemodulator:
         self._step = jax.jit(step)
         self._carry = init()
         self._pending = np.zeros((0, 2), np.float32)
+        #: Completed packets that overflowed the per-block output slots
+        #: (raise ``max_packets`` if this ever becomes nonzero).
+        self.dropped = 0
 
     def feed(self, iq) -> list[tuple[int, np.ndarray]]:
         """Consume IQ (complex or [T, 2] float32); returns completed packets
@@ -462,7 +474,9 @@ class StreamingDemodulator:
         for b in range(nfull):
             block = buf[b * self.block_len:(b + 1) * self.block_len]
             self._carry, outs = self._step(self._carry, block)
-            syms, lens, pos, cnt = (np.asarray(x) for x in jax.device_get(outs))
+            syms, lens, pos, cnt, dropped = (
+                np.asarray(x) for x in jax.device_get(outs))
+            self.dropped += int(dropped)
             for r in range(int(cnt)):
                 out.append((int(pos[r]), syms[r, :lens[r]].copy()))
         self._pending = buf[nfull * self.block_len:]
@@ -498,7 +512,7 @@ def make_demodulator(cfg: LoraConfig, num_samples_total: int, max_packets: int =
 
     Returns fn(iq_ri float32[num_samples_total, 2]) ->
     (packets uint16[max_packets, MS], lengths int32[max_packets],
-     positions int32[max_packets], count int32).
+     positions int32[max_packets], count int32, dropped int32).
     """
     return jax.jit(demod_fn(cfg, num_samples_total, max_packets))
 
@@ -510,5 +524,5 @@ def demodulate(iq, cfg: LoraConfig, max_packets: int = 8):
         iq = to_ri(np.asarray(iq))
     iq = np.asarray(iq, dtype=np.float32)
     fn = make_demodulator(cfg, iq.shape[0], max_packets)
-    out_syms, out_len, _, out_cnt = jax.device_get(fn(iq))
+    out_syms, out_len, _, out_cnt, _ = jax.device_get(fn(iq))
     return [out_syms[i, :out_len[i]].copy() for i in range(int(out_cnt))]

@@ -157,7 +157,8 @@ def _dynamic_compensation(symbols, count, cfg: LoraConfig):
 
 @lru_cache(maxsize=None)
 def weak_demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 4):
-    """Pure fn(iq_ri [T, 2]) -> (syms uint16[MP, sym_num], lens, count)."""
+    """Pure fn(iq_ri [T, 2]) -> (syms uint16[MP, sym_num], lens, count,
+    dropped) — ``dropped`` counts packets that overflowed the slots."""
     n = cfg.num_samples
     k = cfg.bin_size
     fac = cfg.fft_factor
@@ -261,7 +262,7 @@ def weak_demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 4)
             keep = out_cnt < mp
             out_syms = out_syms.at[row].set(jnp.where(keep, comp, out_syms[row]))
             out_len = out_len.at[row].set(jnp.where(keep, sym_cnt, out_len[row]))
-            return out_syms, out_len, jnp.minimum(out_cnt + 1, mp)
+            return out_syms, out_len, out_cnt + 1  # uncapped: overflow visible
 
         out_syms, out_len, out_cnt = jax.lax.cond(
             do_out, emit, lambda a: a, (s.out_syms, s.out_len, s.out_cnt))
@@ -292,7 +293,9 @@ def weak_demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 4)
             return (s.ptr + 2 * n <= iq.shape[0]) & (s.it < max_iters)
 
         final = jax.lax.while_loop(cond, partial(body, iq), init)
-        return final.out_syms, final.out_len, final.out_cnt
+        return (final.out_syms, final.out_len,
+                jnp.minimum(final.out_cnt, mp),
+                jnp.maximum(final.out_cnt - mp, 0))
 
     return run
 
@@ -309,5 +312,5 @@ def weak_demodulate(iq, cfg: LoraConfig, max_packets: int = 4):
         iq = to_ri(np.asarray(iq))
     iq = np.asarray(iq, dtype=np.float32)
     fn = make_weak_demodulator(cfg, iq.shape[0], max_packets)
-    out_syms, out_len, out_cnt = jax.device_get(fn(iq))
+    out_syms, out_len, out_cnt, _ = jax.device_get(fn(iq))
     return [out_syms[i, :out_len[i]].copy() for i in range(int(out_cnt))]

@@ -29,7 +29,7 @@ def test_scan_finds_preamble_position():
     scan = make_preamble_scan(cfg, 60, 4)
     import jax
 
-    starts, valid = (np.asarray(x) for x in jax.device_get(scan(iq)))
+    starts, valid, _ = (np.asarray(x) for x in jax.device_get(scan(iq)))
     hits = starts[0][valid[0]]
     assert len(hits) >= 1
     # Detection window start within the preamble.
