@@ -80,7 +80,12 @@ def make_peak_lattice(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
         fa, faw, hs = fn(row_chunks(iq, cfg, num_hops))
         return fa[:num_hops], faw[:num_hops], hs[:num_hops]
 
-    spectra = spectra_pallas if backend == "pallas" else spectra_xla
+    def spectra_fast(iq):
+        from ..ops.overlap_dft import fast_pyramid_spectra
+        return fast_pyramid_spectra(iq, cfg, num_hops)
+
+    spectra = {"xla": spectra_xla, "pallas": spectra_pallas,
+               "fast": spectra_fast}[backend]
 
     def run(iq):
         fft_add, fft_add_w, h_single = spectra(iq)
@@ -414,7 +419,7 @@ class StreamingPyramidDemodulator:
 
     def __init__(self, cfg: LoraConfig, block_hops: int = 2048,
                  max_peaks: int = 16, grace: int = 0,
-                 use_native: bool | None = None):
+                 use_native: bool | None = None, backend: str = "xla"):
         self.cfg = cfg
         self.block_hops = block_hops
         self.max_peaks = max_peaks
@@ -432,7 +437,7 @@ class StreamingPyramidDemodulator:
             self.tracker = PyramidTracker(cfg, grace=grace)
         self._grace = grace
         self._pending = np.zeros((0, 2), np.float32)
-        self._lattice = make_peak_lattice(cfg, block_hops, max_peaks)
+        self._lattice = make_peak_lattice(cfg, block_hops, max_peaks, backend)
         self._drained = 0
 
     def _results(self) -> list[np.ndarray]:
