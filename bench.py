@@ -45,7 +45,7 @@ def build_inputs(cfg, num_frames: int, seed: int = 0):
     return jnp.asarray(iq), hop, total
 
 
-def make_step(cfg, num_frames: int, hop: int):
+def make_step(cfg, num_frames: int, hop: int, backend: str = "xla"):
     """iq [T, 2] -> per-hop folded peak (idx, val, val_w): the full dense
     pyramid front-end with the output reduced on-device."""
     import jax
@@ -56,19 +56,64 @@ def make_step(cfg, num_frames: int, hop: int):
     n = cfg.num_samples
     r = n // hop
 
-    def step(iq):
+    def spectra_xla(iq):
         chunks = iq[: (num_frames + r - 1) * hop].reshape(-1, hop, 2)
         # Overlapped frames as r static slices — no gather.
         frames = jnp.stack(
             [jax.lax.slice_in_dim(chunks, k, k + num_frames, axis=0)
              for k in range(r)], axis=1,
         ).reshape(num_frames, n, 2)
-        fft_add, fft_add_w, h_single = pyramid_spectra(frames, cfg)
+        return pyramid_spectra(frames, cfg)
+
+    def spectra_fast(iq):
+        from gr_lora_tpu.ops.overlap_dft import fast_pyramid_spectra
+        return fast_pyramid_spectra(iq, cfg, num_frames)
+
+    def spectra_pallas(iq):
+        from gr_lora_tpu.ops.pallas_frontend import (make_pallas_spectra,
+                                                     row_chunks)
+        fn = make_pallas_spectra(cfg, num_frames,
+                                 interpret=jax.default_backend() != "tpu")
+        fa, faw, hs = fn(row_chunks(iq, cfg, num_frames))
+        return fa[:num_frames], faw[:num_frames], hs[:num_frames]
+
+    spectra = {"xla": spectra_xla, "fast": spectra_fast,
+               "pallas": spectra_pallas}[backend]
+
+    def step(iq):
+        fft_add, fft_add_w, h_single = spectra(iq)
         return (jnp.argmax(fft_add_w, -1).astype(jnp.int32),
                 jnp.max(fft_add_w, -1), jnp.max(fft_add, -1),
                 jnp.max(h_single, -1))
 
     return jax.jit(step)
+
+
+def frontend_flops(cfg, num_frames: int, backend: str) -> dict:
+    """Real-FLOP accounting for one front-end pass (num_frames hops).
+
+    'matmul' counts the MXU work (a complex MAC = 8 real flops via the
+    packed 2Nx2C real matmul), 'elementwise' the VPU assembly work of the
+    fast path (complex mul = 6 + add = 2), 'algorithmic' the minimum the
+    chosen formulation could do.  Used by --mode roofline.
+    """
+    n = cfg.num_samples
+    k = cfg.bin_size
+    f = cfg.fft_size
+    r = 8
+    h = n // r
+    if backend == "xla":
+        cols = 2 * (2 * k + k)          # two variants x BandSpec(2K, K)
+        matmul = num_frames * n * cols * 8
+        elem = num_frames * 3 * k * 4   # mags + folds
+    else:
+        from gr_lora_tpu.ops.overlap_dft import overlap_plan
+        plan = overlap_plan(cfg.sf, cfg.p, cfg.fft_factor, cfg.beta,
+                            cfg.precision)
+        taps = len(plan.win_shifts)
+        matmul = (num_frames + r - 1) * h * f * 8
+        elem = num_frames * f * (r + taps) * 8 + num_frames * 3 * k * 4
+    return {"matmul": matmul, "elementwise": elem, "total": matmul + elem}
 
 
 def main():
@@ -84,12 +129,18 @@ def main():
     # bit-stable noise-floor argmaxes.
     ap.add_argument("--precision", choices=["highest", "default", "bf16"],
                     default="default")
-    ap.add_argument("--mode", choices=["pyramid", "gateway", "scan"],
+    ap.add_argument("--mode",
+                    choices=["pyramid", "gateway", "scan", "roofline"],
                     default="pyramid",
                     help="pyramid: dense collision front-end; gateway: "
                          "vmapped demod FSM over many channels; scan: "
-                         "detection-gated preamble sweep (all SFs)")
+                         "detection-gated preamble sweep (all SFs); "
+                         "roofline: pyramid front-end FLOP/MFU accounting")
     ap.add_argument("--channels", type=int, default=16)
+    ap.add_argument("--backend", choices=["xla", "fast", "pallas"],
+                    default="fast",
+                    help="pyramid front-end formulation (ops/dechirp direct "
+                         "matmul vs ops/overlap_dft chunk decomposition)")
     args = ap.parse_args()
 
     import jax
@@ -107,9 +158,11 @@ def main():
         return bench_gateway(cfg, args)
     if args.mode == "scan":
         return bench_scan(cfg, args)
+    if args.mode == "roofline":
+        return bench_roofline(cfg, args, num_frames)
 
     iq, hop, total = build_inputs(cfg, num_frames)
-    step = make_step(cfg, num_frames, hop)
+    step = make_step(cfg, num_frames, hop, args.backend)
 
     # Warm up: compile AND force execution.  On the axon tunnel,
     # block_until_ready can return before the work is done; device_get is the
@@ -133,9 +186,57 @@ def main():
     }))
     dev = jax.devices()[0]
     print(f"# device={dev.device_kind} sf={cfg.sf} p={cfg.p} "
-          f"precision={cfg.precision} "
+          f"precision={cfg.precision} backend={args.backend} "
           f"fft_factor={cfg.fft_factor} frames/iter={num_frames} hop={hop} "
           f"iters={iters} wall={dt:.3f}s", file=sys.stderr)
+
+
+# Dense per-chip peak for MFU accounting (TPU v5e: 197 bf16 TFLOP/s — the
+# single-MXU speed-of-light the BASELINE.md "speed-of-light" row refers to).
+_CHIP_PEAK_FLOPS = {"TPU v5 lite": 197e12, "TPU v5e": 197e12}
+
+
+def bench_roofline(cfg, args, num_frames):
+    """Measure the pyramid front-end against chip peak: achieved FLOP/s of
+    the chosen formulation, the direct formulation's FLOP count for the same
+    work, and % of MXU peak (BASELINE.md 'speed-of-light' accounting)."""
+    import jax
+
+    iq, hop, total = build_inputs(cfg, num_frames)
+    step = make_step(cfg, num_frames, hop, args.backend)
+    iters = args.iters or (2 if args.quick else 20)
+    jax.device_get(step(iq))
+    jax.device_get(step(iq))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(iq)
+    jax.device_get(out)
+    dt = time.perf_counter() - t0
+
+    samples = num_frames * hop * iters
+    sps = samples / dt
+    fl = frontend_flops(cfg, num_frames, args.backend)
+    fl_direct = frontend_flops(cfg, num_frames, "xla")
+    achieved = fl["total"] * iters / dt
+    # "Effective" rate: direct-formulation FLOPs delivered per second — how
+    # fast a chip-peak direct implementation would have to run to match.
+    effective = fl_direct["total"] * iters / dt
+    dev = jax.devices()[0]
+    peak = _CHIP_PEAK_FLOPS.get(dev.device_kind, 197e12)
+    print(json.dumps({
+        "metric": "pyramid_frontend_mfu",
+        "value": round(100.0 * achieved / peak, 2),
+        "unit": "% of chip peak (achieved FLOPs)",
+        "vs_baseline": round(sps / (2 * 125e3), 2),
+    }))
+    print(f"# device={dev.device_kind} backend={args.backend} "
+          f"samples/s={sps:.3e} achieved_tflops={achieved / 1e12:.2f} "
+          f"effective_direct_tflops={effective / 1e12:.2f} "
+          f"matmul_tflops={fl['matmul'] * iters / dt / 1e12:.2f} "
+          f"elem_tflops={fl['elementwise'] * iters / dt / 1e12:.2f} "
+          f"peak_tflops={peak / 1e12:.0f} "
+          f"mfu={100.0 * achieved / peak:.2f}% "
+          f"wall={dt:.3f}s", file=sys.stderr)
 
 
 def bench_gateway(cfg, args):

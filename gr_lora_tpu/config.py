@@ -43,6 +43,10 @@ TIMESTAMP_MOD = 1 << 28
 PYRAMID_NUM_PREAMBLE = 6
 PYRAMID_TRACK_POOL = 1000
 PYRAMID_PACKET_POOL = 40
+# Per-track peak cap (beyond-reference): bounds memory under persistent
+# interference; a normal packet track holds < ~50 peaks.  A track hitting
+# the cap is finalized as if idle (native/src/pyramid_tracker.cc).
+PYRAMID_MAX_TRACK_PEAKS = 256
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,221 @@
+"""Gateway-scale collision decoding: Pyramid over many channels and chips.
+
+The reference's headline feature — real-time collision decoding
+(pyramid_demod_impl.cc, README.md:2-5) — is single-channel, single-stream.
+This module scales it to a gateway's channel matrix:
+
+- **Dense half (TPU)**: the peak lattice (models/pyramid.peak_lattice_fn,
+  default = the overlap-decomposed fast front-end) is vmapped over channels
+  and, given a mesh, shard_mapped over a ``{ch, t}`` device grid: channels
+  are pure data parallelism; the time axis is split into blocks with an
+  overlap-save right halo of ``N - hop`` samples moved by ``ppermute`` so
+  every hop window is complete (the sequence-parallel analog of the
+  reference's 3-symbol ``set_history``, pyramid_demod_impl.cc:132).
+
+- **Sparse half (host, native)**: one C++ tracker per channel
+  (native.MultiPyramidTracker) advanced by whole ``[C, H, M]`` peak blocks
+  in a single ctypes call per time block — no per-hop Python loop.  Tracker
+  state (ts_ref/bin_ref phase, live tracks, packets-in-flight) carries
+  across time blocks, so packets spanning block boundaries assemble exactly
+  as in one-shot mode.
+
+The streaming loop is the ``t``-axis pipeline: while the host trackers walk
+block ``i``'s peaks, the device is free to compute block ``i+1``'s lattice
+(dispatch is async; only the peak fetch synchronizes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..config import PYRAMID_OVERLAP_FACTOR, LoraConfig
+from ..core.codec import DecodeResult, decode
+from ..models.pyramid import PyramidTracker, peak_lattice_fn
+from ..ops.cplx import to_ri
+
+
+class _LatticePlan(NamedTuple):
+    fn: object               # [C, block_len + halo, 2] -> peaks [C, H, M]
+    in_sharding: object | None
+
+
+def _make_batched_lattice(cfg: LoraConfig, mesh: Mesh | None,
+                          channels: int, block_hops: int, max_peaks: int,
+                          backend: str) -> _LatticePlan:
+    n = cfg.num_samples
+    hop = n // PYRAMID_OVERLAP_FACTOR
+    halo = n - hop
+    run = peak_lattice_fn(cfg, block_hops, max_peaks, backend)
+
+    if mesh is None:
+        return _LatticePlan(jax.jit(jax.vmap(run)), None)
+
+    nt = mesh.shape.get("t", 1)
+    nch = mesh.shape.get("ch", 1)
+    if channels % nch:
+        raise ValueError(f"channels {channels} % ch-shards {nch} != 0")
+
+    def shard_body(iq_local, tail_local):
+        # iq_local [C/nch, block_len, 2]: this shard's own time region; a
+        # hop window starting near the end runs into the right neighbor.
+        # The LAST shard's "neighbor" is the stream's continuation (the next
+        # block's head), passed in as the t-replicated ``tail``.
+        right = jax.lax.ppermute(
+            iq_local[:, :halo, :], "t",
+            [(i + 1, i) for i in range(nt - 1)])
+        is_last = jax.lax.axis_index("t") == nt - 1
+        right = jnp.where(is_last, tail_local, right)
+        ext = jnp.concatenate([iq_local, right], axis=1)
+        return jax.vmap(run)(ext)
+
+    inner = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P("ch", "t", None), P("ch", None, None)),
+        out_specs=(P("ch", "t"), P("ch", "t"), P("ch", "t"), P("ch", "t")),
+    )
+    sharding = NamedSharding(mesh, P("ch", "t", None))
+    return _LatticePlan(jax.jit(inner), sharding)
+
+
+class GatewayPacket(NamedTuple):
+    channel: int
+    symbols: np.ndarray
+    result: DecodeResult
+
+
+class PyramidGateway:
+    """Streaming multi-channel collision decoder (see module docstring).
+
+    ``feed(iq)`` consumes ``[channels, T, 2]`` float32 (or complex) IQ in
+    arbitrary chunk sizes and returns finished packets; ``flush()`` drains.
+    With a mesh, the per-block lattice input is sharded ``P('ch', 't')``.
+    """
+
+    def __init__(self, cfg: LoraConfig, channels: int,
+                 block_hops: int = 1024, max_peaks: int = 16,
+                 grace: int = 0, mesh: Mesh | None = None,
+                 backend: str = "fast", use_native: bool | None = None,
+                 decode_payloads: bool = True):
+        n = cfg.num_samples
+        self.cfg = cfg
+        self.channels = channels
+        self.block_hops = block_hops
+        self._hop = n // PYRAMID_OVERLAP_FACTOR
+        self._halo = n - self._hop
+        nt = mesh.shape.get("t", 1) if mesh is not None else 1
+        if block_hops % nt:
+            raise ValueError(f"block_hops {block_hops} % t-shards {nt} != 0")
+        self._nt = nt
+        self._plan = _make_batched_lattice(
+            cfg, mesh, channels, block_hops // nt, max_peaks, backend)
+        self._decode = decode_payloads
+
+        if use_native is None:
+            from .. import native as _native
+            use_native = _native.available()
+        self._native = use_native
+        if use_native:
+            from .. import native as _native
+            self.trackers = _native.MultiPyramidTracker(cfg, channels,
+                                                        grace=grace)
+        else:
+            self.trackers = _PyTrackerBank(cfg, channels, grace)
+        self._grace = grace
+        self._pending = np.zeros((channels, 0, 2), np.float32)
+
+    # -- streaming ingest -------------------------------------------------
+    def _block_len(self) -> int:
+        return self.block_hops * self._hop
+
+    def feed(self, iq) -> list[GatewayPacket]:
+        if np.iscomplexobj(iq):
+            iq = to_ri(np.asarray(iq))
+        iq = np.asarray(iq, np.float32)
+        if iq.ndim == 2:
+            iq = iq[None]
+        assert iq.shape[0] == self.channels, (iq.shape, self.channels)
+        buf = np.concatenate([self._pending, iq], axis=1)
+        need = self._block_len() + self._halo
+        out: list[GatewayPacket] = []
+        while buf.shape[1] >= need:
+            block = np.ascontiguousarray(buf[:, :need])
+            out += self._run_block(block)
+            buf = buf[:, self._block_len():]
+        self._pending = buf
+        return out
+
+    def _run_block(self, block: np.ndarray) -> list[GatewayPacket]:
+        if self._plan.in_sharding is not None:
+            # Own regions sharded P('ch','t'); the trailing halo (the next
+            # block's head) rides along t-replicated for the last shard.
+            own = jax.device_put(
+                np.ascontiguousarray(block[:, :self._block_len()]),
+                self._plan.in_sharding)
+            tail = np.ascontiguousarray(block[:, self._block_len():])
+            outs = self._plan.fn(own, tail)
+        else:
+            outs = self._plan.fn(jnp.asarray(block))
+        bins, h, hs, valid = (np.asarray(x) for x in jax.device_get(outs))
+        self.trackers.feed(bins, h, hs, valid)
+        return self._collect()
+
+    def _collect(self) -> list[GatewayPacket]:
+        out = []
+        for ch, syms in self.trackers.drain():
+            res = decode(syms, self.cfg) if self._decode else None
+            out.append(GatewayPacket(ch, syms, res))
+        return out
+
+    def flush(self) -> list[GatewayPacket]:
+        """Zero-pad to whole blocks and expire every live track/packet."""
+        drain_hops = (self.trackers.flush_hops() + self._grace
+                      + self.block_hops)
+        pad = drain_hops * self._hop + self._halo
+        return self.feed(np.zeros((self.channels, pad, 2), np.float32))
+
+    def stats(self) -> dict:
+        return self.trackers.stats()
+
+
+class _PyTrackerBank:
+    """Pure-Python fallback with the MultiPyramidTracker surface."""
+
+    def __init__(self, cfg: LoraConfig, channels: int, grace: int):
+        self._banks = [PyramidTracker(cfg, grace=grace)
+                       for _ in range(channels)]
+        self._drained = [0] * channels
+
+    def feed(self, bins, h, hs, valid):
+        c, nh, _ = bins.shape
+        for ch in range(c):
+            bank = self._banks[ch]
+            for t in range(nh):
+                v = valid[ch, t]
+                if v.any():
+                    order = np.argsort(bins[ch, t][v], kind="stable")
+                    bank.step(bins[ch, t][v][order], h[ch, t][v][order],
+                              hs[ch, t][v][order])
+                else:
+                    bank.step()
+
+    def flush_hops(self) -> int:
+        return self._banks[0].flush_hops() if self._banks else 0
+
+    def drain(self):
+        out = []
+        for ch, bank in enumerate(self._banks):
+            new = bank.symbols_out[self._drained[ch]:]
+            self._drained[ch] = len(bank.symbols_out)
+            out += [(ch, s) for s in new]
+        return out
+
+    def stats(self) -> dict:
+        keys = ("tracks_dropped", "packets_dropped",
+                "tracks_overflow_finalized")
+        return {k: sum(b.stats()[k] for b in self._banks) for k in keys}

@@ -30,8 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import (
+    PYRAMID_MAX_TRACK_PEAKS,
     PYRAMID_NUM_PREAMBLE,
     PYRAMID_OVERLAP_FACTOR,
+    PYRAMID_PACKET_POOL,
+    PYRAMID_TRACK_POOL,
     TIMESTAMP_MOD,
     LoraConfig,
 )
@@ -50,9 +53,12 @@ def _pmod(x: int, n: int) -> int:
 # ---------------------------------------------------------------------------
 
 @lru_cache(maxsize=None)
-def make_peak_lattice(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
-                      backend: str = "xla"):
-    """Jitted: iq float32[T, 2] -> per-hop top-M peaks.
+def peak_lattice_fn(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
+                    backend: str = "xla"):
+    """Unjitted pure fn — composable inside vmap/shard_map
+    (dist/pyramid_gateway.py); see make_peak_lattice for the jitted wrapper.
+
+    iq float32[T, 2] -> per-hop top-M peaks.
 
     Returns (bins int32[H, M], h float32[H, M], h_single float32[H, M],
     valid bool[H, M]).  Peaks are the strict cyclic local maxima of the
@@ -100,7 +106,14 @@ def make_peak_lattice(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
         hs = jnp.take_along_axis(h_single, top_bins, axis=-1)
         return top_bins.astype(jnp.int32), h, hs, valid
 
-    return jax.jit(run)
+    return run
+
+
+@lru_cache(maxsize=None)
+def make_peak_lattice(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
+                      backend: str = "xla"):
+    """Jitted single-stream peak lattice (see peak_lattice_fn)."""
+    return jax.jit(peak_lattice_fn(cfg, num_hops, max_peaks, backend))
 
 
 def num_hops_for(cfg: LoraConfig, num_samples_total: int) -> int:
@@ -167,6 +180,11 @@ class PyramidTracker:
         self.tracks: list[_Track] = []
         self.packets: list[_Packet] = []
         self.symbols_out: list[np.ndarray] = []
+        # Graceful pool-exhaustion counters (the reference exit(-1)s,
+        # pyramid_demod_impl.cc:256-260; we drop + count).
+        self.tracks_dropped = 0
+        self.packets_dropped = 0
+        self.tracks_overflow_finalized = 0
 
     # -- per-hop ingest (find_and_add_peak :225-272) --
     def _add_peaks(self, bins, hs, hss):
@@ -180,10 +198,30 @@ class PyramidTracker:
                     tr.updated = True
                     break
             if matched is None:
+                if len(self.tracks) >= PYRAMID_TRACK_POOL:
+                    self.tracks_dropped += 1
+                    continue
                 matched = _Track(bin=cur_bin, peaks=[])
                 self.tracks.append(matched)
             matched.peaks.append(_Peak(self.ts_ref, int(b), float(h),
                                        float(hsngl)))
+        # Per-track peak cap: finalize as if idle (bounds memory under a
+        # persistent CW interferer whose track never goes idle).
+        keep = []
+        for tr in self.tracks:
+            if len(tr.peaks) >= PYRAMID_MAX_TRACK_PEAKS:
+                st, pk = self._central_peak(tr)
+                if st in (_PREAMBLE, _DATA):
+                    self._add_symbol_to_packet(pk, st)
+                self.tracks_overflow_finalized += 1
+            else:
+                keep.append(tr)
+        self.tracks = keep
+
+    def stats(self) -> dict:
+        return {"tracks_dropped": self.tracks_dropped,
+                "packets_dropped": self.packets_dropped,
+                "tracks_overflow_finalized": self.tracks_overflow_finalized}
 
     # -- apex extraction (get_apex :274-317) --
     def _apex(self, track_peaks, is_preamble):
@@ -258,6 +296,9 @@ class PyramidTracker:
     # -- packet matching (add_symbol_to_packet :393-473) --
     def _add_symbol_to_packet(self, pk: _Peak, st: int):
         if st == _PREAMBLE:
+            if len(self.packets) >= PYRAMID_PACKET_POOL:
+                self.packets_dropped += 1
+                return False
             self.packets.append(_Packet(peaks=[pk], ttl=self.ttl0))
             return True
         best = None

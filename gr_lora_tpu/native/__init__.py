@@ -92,6 +92,26 @@ def _load() -> ctypes.CDLL | None:
         lib.lora_pyramid_pop.argtypes = [ctypes.c_void_p, u16p, ctypes.c_int32]
         lib.lora_pyramid_flush_hops.restype = ctypes.c_int32
         lib.lora_pyramid_flush_hops.argtypes = [ctypes.c_void_p]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.lora_pyramid_stats.argtypes = [ctypes.c_void_p, i64p]
+        u8pp = ctypes.POINTER(ctypes.c_uint8)
+        lib.lora_pyramid_multi_create.restype = ctypes.c_void_p
+        lib.lora_pyramid_multi_create.argtypes = (
+            [ctypes.c_int32] * 5 + [ctypes.c_float, ctypes.c_int32])
+        lib.lora_pyramid_multi_destroy.argtypes = [ctypes.c_void_p]
+        lib.lora_pyramid_multi_feed.argtypes = [
+            ctypes.c_void_p, i32p, f32p, f32p, u8pp,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+        lib.lora_pyramid_multi_pending.restype = ctypes.c_int32
+        lib.lora_pyramid_multi_pending.argtypes = [ctypes.c_void_p,
+                                                   ctypes.c_int32]
+        lib.lora_pyramid_multi_pop.restype = ctypes.c_int32
+        lib.lora_pyramid_multi_pop.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_int32, u16p,
+                                               ctypes.c_int32]
+        lib.lora_pyramid_multi_flush_hops.restype = ctypes.c_int32
+        lib.lora_pyramid_multi_flush_hops.argtypes = [ctypes.c_void_p]
+        lib.lora_pyramid_multi_stats.argtypes = [ctypes.c_void_p, i64p]
         lib.lora_ring_create.restype = ctypes.c_void_p
         lib.lora_ring_create.argtypes = [ctypes.c_size_t]
         lib.lora_ring_destroy.argtypes = [ctypes.c_void_p]
@@ -263,3 +283,78 @@ class PyramidTracker:
                 break
             out.append(buf[:n].copy())
         return out
+
+    def stats(self) -> dict:
+        import ctypes as _ct
+        s = np.zeros(3, np.int64)
+        self._lib.lora_pyramid_stats(
+            self._h, s.ctypes.data_as(_ct.POINTER(_ct.c_int64)))
+        return {"tracks_dropped": int(s[0]), "packets_dropped": int(s[1]),
+                "tracks_overflow_finalized": int(s[2])}
+
+
+class MultiPyramidTracker:
+    """Bank of per-channel pyramid trackers advanced by whole [C, H, M]
+    peak-lattice blocks in one native call — the packet-rate host half of
+    the gateway-scale collision decoder (dist/pyramid_gateway.py)."""
+
+    def __init__(self, cfg: LoraConfig, channels: int, grace: int = 0):
+        lib = _load()
+        assert lib is not None, "native library unavailable"
+        self._lib = lib
+        self.channels = channels
+        self._h = lib.lora_pyramid_multi_create(
+            channels, cfg.sf, cfg.p, cfg.fft_factor, int(cfg.ldr),
+            cfg.threshold, grace)
+        if not self._h:
+            raise MemoryError("lora_pyramid_multi_create failed")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.lora_pyramid_multi_destroy(h)
+            self._h = None
+
+    def feed(self, bins, h, h_single, valid) -> None:
+        """bins int32[C, H, M], h/h_single float32[C, H, M],
+        valid bool[C, H, M] — one device block for every channel."""
+        import ctypes as _ct
+        b = np.ascontiguousarray(bins, np.int32)
+        hh = np.ascontiguousarray(h, np.float32)
+        hs = np.ascontiguousarray(h_single, np.float32)
+        v = np.ascontiguousarray(valid, np.uint8)
+        c, nh, mp = b.shape
+        assert c == self.channels, (c, self.channels)
+        self._lib.lora_pyramid_multi_feed(
+            self._h,
+            b.ctypes.data_as(_ct.POINTER(_ct.c_int32)),
+            hh.ctypes.data_as(_ct.POINTER(_ct.c_float)),
+            hs.ctypes.data_as(_ct.POINTER(_ct.c_float)),
+            v.ctypes.data_as(_ct.POINTER(_ct.c_uint8)),
+            c, nh, mp)
+
+    def flush_hops(self) -> int:
+        return int(self._lib.lora_pyramid_multi_flush_hops(self._h))
+
+    def drain(self) -> list[tuple[int, np.ndarray]]:
+        """All finished packets as (channel, symbols) tuples."""
+        import ctypes as _ct
+        out = []
+        buf = np.zeros(4096, np.uint16)
+        for c in range(self.channels):
+            while self._lib.lora_pyramid_multi_pending(self._h, c) > 0:
+                n = self._lib.lora_pyramid_multi_pop(
+                    self._h, c,
+                    buf.ctypes.data_as(_ct.POINTER(_ct.c_uint16)), len(buf))
+                if n < 0:
+                    break
+                out.append((c, buf[:n].copy()))
+        return out
+
+    def stats(self) -> dict:
+        import ctypes as _ct
+        s = np.zeros(3, np.int64)
+        self._lib.lora_pyramid_multi_stats(
+            self._h, s.ctypes.data_as(_ct.POINTER(_ct.c_int64)))
+        return {"tracks_dropped": int(s[0]), "packets_dropped": int(s[1]),
+                "tracks_overflow_finalized": int(s[2])}

@@ -72,6 +72,32 @@ int32_t lora_pyramid_pending(const lora_pyramid* t);
 int32_t lora_pyramid_pop(lora_pyramid* t, uint16_t* dst, int32_t cap);
 /* Empty hops needed to retire all tracks and expire all TTLs. */
 int32_t lora_pyramid_flush_hops(const lora_pyramid* t);
+/* Graceful-degradation counters: {tracks_dropped, packets_dropped,
+ * tracks_overflow_finalized}.  The reference exit(-1)s on pool exhaustion
+ * (pyramid_demod_impl.cc:256-260); we drop + count instead. */
+void lora_pyramid_stats(const lora_pyramid* t, int64_t* out3);
+
+/* ---- Multi-channel tracker bank: C independent trackers advanced from one
+ * batched [C, H, M] peak-lattice block per call (gateway-scale path). ---- */
+typedef struct lora_pyramid_multi lora_pyramid_multi;
+
+lora_pyramid_multi* lora_pyramid_multi_create(int32_t channels, int32_t sf,
+                                              int32_t p, int32_t fft_factor,
+                                              int32_t ldr, float threshold,
+                                              int32_t grace);
+void lora_pyramid_multi_destroy(lora_pyramid_multi* m);
+/* bins/h/h_single float32/int32 [C, H, M] row-major, valid uint8 [C, H, M];
+ * advances every channel tracker by H hops. */
+void lora_pyramid_multi_feed(lora_pyramid_multi* m, const int32_t* bins,
+                             const float* h, const float* h_single,
+                             const uint8_t* valid, int32_t channels,
+                             int32_t hops, int32_t max_peaks);
+int32_t lora_pyramid_multi_pending(const lora_pyramid_multi* m,
+                                   int32_t channel);
+int32_t lora_pyramid_multi_pop(lora_pyramid_multi* m, int32_t channel,
+                               uint16_t* dst, int32_t cap);
+int32_t lora_pyramid_multi_flush_hops(const lora_pyramid_multi* m);
+void lora_pyramid_multi_stats(const lora_pyramid_multi* m, int64_t* out3);
 
 /* ---- SPSC lock-free ring buffer (GR stream-buffer analog). ---- */
 typedef struct lora_ring lora_ring;

@@ -44,6 +44,16 @@ struct Packet {
 
 }  // namespace
 
+// Pool bounds: the reference uses fixed pools of 1000 tracks / 40 packets
+// and calls exit(-1) on exhaustion (pyramid_demod_impl.cc:111-130,256-260).
+// Here exhaustion degrades gracefully (drop + count) and a per-track peak
+// cap bounds memory against pathological inputs (e.g. a CW interferer whose
+// track never idles, hence never finalizes): a track hitting the cap is
+// finalized immediately, exactly as if it had gone idle.
+constexpr int MAX_TRACKS = 1000;
+constexpr int MAX_PACKETS = 40;
+constexpr int MAX_TRACK_PEAKS = 256;
+
 struct lora_pyramid {
   int n;              // samples per symbol
   int k;              // bin_size
@@ -58,6 +68,10 @@ struct lora_pyramid {
   std::vector<Track> tracks;
   std::vector<Packet> packets;
   std::deque<std::vector<uint16_t>> out;
+  // Graceful-degradation counters (visible via lora_pyramid_stats).
+  int64_t tracks_dropped = 0;
+  int64_t packets_dropped = 0;
+  int64_t tracks_overflow_finalized = 0;
 
   lora_pyramid(int sf, int p, int ff, int ldr, float thr, int grc)
       : n(p << sf),
@@ -83,10 +97,28 @@ struct lora_pyramid {
         }
       }
       if (!match) {
+        if ((int)tracks.size() >= MAX_TRACKS) {
+          tracks_dropped++;
+          continue;
+        }
         tracks.push_back(Track{cur_bin, {}, true});
         match = &tracks.back();
       }
       match->peaks.push_back(Peak{ts_ref, bins[i], h[i], hs[i]});
+    }
+    // Peak-cap overflow: finalize as if idle (bounds per-track memory; a
+    // normal packet track never exceeds ~50 peaks, only a persistent
+    // interferer does).
+    for (size_t t = 0; t < tracks.size();) {
+      if ((int)tracks[t].peaks.size() >= MAX_TRACK_PEAKS) {
+        Peak pk;
+        const int st = central_peak(tracks[t], &pk);
+        if (st == 0 || st == 1) add_symbol(pk, st);
+        tracks_overflow_finalized++;
+        tracks.erase(tracks.begin() + t);
+      } else {
+        t++;
+      }
     }
   }
 
@@ -151,6 +183,10 @@ struct lora_pyramid {
   // add_symbol_to_packet (:393-473).
   bool add_symbol(const Peak& pk, int st) {
     if (st == 0) {
+      if ((int)packets.size() >= MAX_PACKETS) {
+        packets_dropped++;
+        return false;
+      }
       packets.push_back(Packet{{pk}, ttl0});
       return true;
     }
@@ -298,6 +334,104 @@ int32_t lora_pyramid_pop(lora_pyramid* t, uint16_t* dst, int32_t cap) {
 int32_t lora_pyramid_flush_hops(const lora_pyramid* t) {
   (void)t;
   return (NUM_PREAMBLE + 3) * OVERLAPS + 6 * OVERLAPS + 2;
+}
+
+void lora_pyramid_stats(const lora_pyramid* t, int64_t* out3) {
+  out3[0] = t->tracks_dropped;
+  out3[1] = t->packets_dropped;
+  out3[2] = t->tracks_overflow_finalized;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multi-channel tracker bank: C independent trackers advanced from ONE
+// batched device transfer per time block (the per-hop ctypes chatter of a
+// Python loop would dominate at gateway channel counts).  Feed layout
+// matches models.pyramid.make_peak_lattice output batched over channels.
+// ---------------------------------------------------------------------------
+
+struct lora_pyramid_multi {
+  std::vector<lora_pyramid> banks;
+
+  lora_pyramid_multi(int ch, int sf, int p, int ff, int ldr, float thr,
+                     int grc) {
+    banks.reserve(ch);
+    for (int c = 0; c < ch; c++) banks.emplace_back(sf, p, ff, ldr, thr, grc);
+  }
+};
+
+extern "C" {
+
+lora_pyramid_multi* lora_pyramid_multi_create(int32_t channels, int32_t sf,
+                                              int32_t p, int32_t fft_factor,
+                                              int32_t ldr, float threshold,
+                                              int32_t grace) {
+  return new lora_pyramid_multi(channels, sf, p, fft_factor, ldr, threshold,
+                                grace);
+}
+
+void lora_pyramid_multi_destroy(lora_pyramid_multi* m) { delete m; }
+
+// bins/h/h_single: [C, H, M] row-major; valid: uint8 [C, H, M].
+// Advances every channel's tracker by H hops.  Valid peaks are re-sorted
+// ascending by bin per hop (the reference scans bins in ascending order,
+// pyramid_demod_impl.cc:227; the lattice emits them height-ordered).
+void lora_pyramid_multi_feed(lora_pyramid_multi* m, const int32_t* bins,
+                             const float* h, const float* h_single,
+                             const uint8_t* valid, int32_t channels,
+                             int32_t hops, int32_t max_peaks) {
+  std::vector<int> idx;
+  std::vector<int32_t> sb(max_peaks);
+  std::vector<float> sh(max_peaks), ss(max_peaks);
+  for (int c = 0; c < channels && c < (int)m->banks.size(); c++) {
+    lora_pyramid& bank = m->banks[c];
+    for (int t = 0; t < hops; t++) {
+      const size_t base = ((size_t)c * hops + t) * max_peaks;
+      idx.clear();
+      for (int i = 0; i < max_peaks; i++)
+        if (valid[base + i]) idx.push_back(i);
+      if (idx.empty()) {
+        bank.step(nullptr, nullptr, nullptr, 0);
+        continue;
+      }
+      std::sort(idx.begin(), idx.end(), [&](int a, int b) {
+        return bins[base + a] < bins[base + b];
+      });
+      const int np = (int)idx.size();
+      for (int i = 0; i < np; i++) {
+        sb[i] = bins[base + idx[i]];
+        sh[i] = h[base + idx[i]];
+        ss[i] = h_single[base + idx[i]];
+      }
+      bank.step(sb.data(), sh.data(), ss.data(), np);
+    }
+  }
+}
+
+int32_t lora_pyramid_multi_pending(const lora_pyramid_multi* m,
+                                   int32_t channel) {
+  if (channel < 0 || channel >= (int32_t)m->banks.size()) return -1;
+  return (int32_t)m->banks[channel].out.size();
+}
+
+int32_t lora_pyramid_multi_pop(lora_pyramid_multi* m, int32_t channel,
+                               uint16_t* dst, int32_t cap) {
+  if (channel < 0 || channel >= (int32_t)m->banks.size()) return -1;
+  return lora_pyramid_pop(&m->banks[channel], dst, cap);
+}
+
+int32_t lora_pyramid_multi_flush_hops(const lora_pyramid_multi* m) {
+  return m->banks.empty() ? 0 : lora_pyramid_flush_hops(&m->banks[0]);
+}
+
+void lora_pyramid_multi_stats(const lora_pyramid_multi* m, int64_t* out3) {
+  out3[0] = out3[1] = out3[2] = 0;
+  for (const auto& b : m->banks) {
+    out3[0] += b.tracks_dropped;
+    out3[1] += b.packets_dropped;
+    out3[2] += b.tracks_overflow_finalized;
+  }
 }
 
 }  // extern "C"
