@@ -130,12 +130,15 @@ def main():
     ap.add_argument("--precision", choices=["highest", "default", "bf16"],
                     default="default")
     ap.add_argument("--mode",
-                    choices=["pyramid", "gateway", "scan", "roofline"],
+                    choices=["pyramid", "gateway", "scan", "roofline",
+                             "pyramid_gateway"],
                     default="pyramid",
                     help="pyramid: dense collision front-end; gateway: "
                          "vmapped demod FSM over many channels; scan: "
                          "detection-gated preamble sweep (all SFs); "
-                         "roofline: pyramid front-end FLOP/MFU accounting")
+                         "roofline: pyramid front-end FLOP/MFU accounting; "
+                         "pyramid_gateway: end-to-end multi-channel "
+                         "collision decoding incl. host tracker time")
     ap.add_argument("--channels", type=int, default=16)
     ap.add_argument("--backend", choices=["xla", "fast", "pallas"],
                     default="fast",
@@ -160,6 +163,8 @@ def main():
         return bench_scan(cfg, args)
     if args.mode == "roofline":
         return bench_roofline(cfg, args, num_frames)
+    if args.mode == "pyramid_gateway":
+        return bench_pyramid_gateway(args)
 
     iq, hop, total = build_inputs(cfg, num_frames)
     step = make_step(cfg, num_frames, hop, args.backend)
@@ -237,6 +242,73 @@ def bench_roofline(cfg, args, num_frames):
           f"peak_tflops={peak / 1e12:.0f} "
           f"mfu={100.0 * achieved / peak:.2f}% "
           f"wall={dt:.3f}s", file=sys.stderr)
+
+
+def bench_pyramid_gateway(args):
+    """End-to-end gateway-scale collision decoding: C channels of real
+    two-packet collisions through the batched lattice AND the native
+    per-channel trackers — wall clock includes peak fetch + tracker walk,
+    i.e. the full product path of dist/pyramid_gateway.py."""
+    import jax
+
+    from gr_lora_tpu import LoraConfig
+    from gr_lora_tpu.core.codec import encode
+    from gr_lora_tpu.dist.pyramid_gateway import PyramidGateway
+    from gr_lora_tpu.models.modulator import modulate
+    from gr_lora_tpu.ops.cplx import to_ri
+
+    # rx_file_collision.grc operating point (sf=8 ff=8 threshold=5),
+    # times `channels`.
+    cfg = LoraConfig(sf=args.sf, cr=1, crc=True, ldr=False,
+                     explicit_header=True, payload_len=8, p=args.p,
+                     fft_factor=8, threshold=5.0, precision=args.precision)
+    n = cfg.num_samples
+    channels = args.channels
+    block_hops = 256 if args.quick else 2048
+    iters = args.iters or (2 if args.quick else 8)
+    hop = n // 8
+    block = block_hops * hop + (n - hop)
+
+    p1 = 0.2 * modulate(encode(bytes([1, 2, 3, 4, 5, 6]), cfg), cfg,
+                        pad_front=0, pad_back=0)
+    p2 = 0.09 * modulate(encode(bytes([7] * 5), cfg), cfg,
+                         pad_front=0, pad_back=0)
+    rng = np.random.default_rng(0)
+    iq = (0.01 * (rng.standard_normal((channels, block))
+                  + 1j * rng.standard_normal((channels, block)))
+          ).astype(np.complex64)
+    for c in range(channels):
+        base = (1000 + c * 997) % max(block - len(p1) - 17 * n, 1)
+        off2 = base + 16 * n + 4 * n // 8 + 204
+        iq[c, base:base + len(p1)] += p1
+        if off2 + len(p2) < block:
+            iq[c, off2:off2 + len(p2)] += p2
+    ri = to_ri(iq)
+
+    gw = PyramidGateway(cfg, channels, block_hops=block_hops,
+                        max_peaks=8, backend=args.backend)
+    pkts = len(gw.feed(ri))         # warm-up: compile + first tracker walk
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pkts += len(gw.feed(ri))
+    dt = time.perf_counter() - t0
+
+    samples = channels * block_hops * hop * iters
+    sps = samples / dt
+    baseline_sps = 2 * 125e3
+    print(json.dumps({
+        "metric": "pyramid_gateway_throughput",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / baseline_sps, 2),
+    }))
+    dev = jax.devices()[0]
+    print(f"# device={dev.device_kind} mode=pyramid_gateway "
+          f"channels={channels} sf={cfg.sf} p={cfg.p} backend={args.backend} "
+          f"precision={cfg.precision} block_hops={block_hops} iters={iters} "
+          f"packets={pkts} per_channel_x_realtime="
+          f"{sps / channels / baseline_sps:.1f} wall={dt:.3f}s",
+          file=sys.stderr)
 
 
 def bench_gateway(cfg, args):

@@ -30,6 +30,9 @@ def main(argv=None) -> int:
                     help="stream rate; must equal p*bw")
     ap.add_argument("--chunk", type=int, default=1 << 16,
                     help="samples per read")
+    ap.add_argument("--no-ring", action="store_true",
+                    help="disable the threaded native ring-buffer ingest "
+                         "(synchronous reads instead)")
     add_config_args(ap)
     args = ap.parse_args(argv)
     cfg = config_from_args(args)
@@ -42,6 +45,29 @@ def main(argv=None) -> int:
     from ..models.demodulator import StreamingDemodulator
 
     stream = sys.stdin.buffer if args.source == "-" else open(args.source, "rb")
+
+    from .. import native
+    if not args.no_ring and native.available():
+        # Product path: producer thread -> lock-free ring -> pipelined
+        # device blocks (pipeline/ingest.py).
+        from ..pipeline.ingest import stream_demodulate
+
+        found = 0
+
+        def on_packet(pos, syms):
+            nonlocal found
+            res = decode(syms, cfg)
+            if res.ok:
+                print_pdu(bytes(res.payload), prefix=f"pdu @{pos}")
+                found += 1
+
+        try:
+            stream_demodulate(cfg, stream, on_packet)
+        finally:
+            if stream is not sys.stdin.buffer:
+                stream.close()
+        return 0 if found else 1
+
     sd = StreamingDemodulator(cfg)
     found = 0
     try:

@@ -451,7 +451,7 @@ class StreamingDemodulator:
     re-processing is needed (unlike overlap-save batch mode)."""
 
     def __init__(self, cfg: LoraConfig, block_len: int | None = None,
-                 max_packets: int = 8):
+                 max_packets: int = 8, pipelined: bool = False):
         self.cfg = cfg
         self.block_len = block_len or 64 * cfg.num_samples
         step, init = demod_stream_fn(cfg, self.block_len, max_packets)
@@ -461,6 +461,20 @@ class StreamingDemodulator:
         #: Completed packets that overflowed the per-block output slots
         #: (raise ``max_packets`` if this ever becomes nonzero).
         self.dropped = 0
+        # Double buffering: jax dispatch is async, so with ``pipelined`` the
+        # device computes block i while the host prepares block i+1 — the
+        # fetch of block i's packets happens on the NEXT feed call (results
+        # shift one block later; flush() always drains).  This is the
+        # host<->device overlap of the GR scheduler's block threads.
+        self._pipelined = pipelined
+        self._inflight = None
+
+    def _drain_outs(self, outs) -> list[tuple[int, np.ndarray]]:
+        syms, lens, pos, cnt, dropped = (
+            np.asarray(x) for x in jax.device_get(outs))
+        self.dropped += int(dropped)
+        return [(int(pos[r]), syms[r, :lens[r]].copy())
+                for r in range(int(cnt))]
 
     def feed(self, iq) -> list[tuple[int, np.ndarray]]:
         """Consume IQ (complex or [T, 2] float32); returns completed packets
@@ -474,11 +488,12 @@ class StreamingDemodulator:
         for b in range(nfull):
             block = buf[b * self.block_len:(b + 1) * self.block_len]
             self._carry, outs = self._step(self._carry, block)
-            syms, lens, pos, cnt, dropped = (
-                np.asarray(x) for x in jax.device_get(outs))
-            self.dropped += int(dropped)
-            for r in range(int(cnt)):
-                out.append((int(pos[r]), syms[r, :lens[r]].copy()))
+            if self._pipelined:
+                if self._inflight is not None:
+                    out += self._drain_outs(self._inflight)
+                self._inflight = outs
+            else:
+                out += self._drain_outs(outs)
         self._pending = buf[nfull * self.block_len:]
         return out
 
@@ -487,7 +502,11 @@ class StreamingDemodulator:
         drain = self.block_len + 2 * stream_tail_len(self.cfg)
         pad = (-(self._pending.shape[0] + drain)) % self.block_len
         silence = np.zeros((drain + pad, 2), np.float32)
-        return self.feed(silence)
+        out = self.feed(silence)
+        if self._inflight is not None:
+            out += self._drain_outs(self._inflight)
+            self._inflight = None
+        return out
 
     # -- checkpoint/resume: the FSM state is an explicit pytree, so resuming
     #    from any block boundary is a pure array save/restore (the reference
