@@ -141,7 +141,7 @@ def main():
                          "collision decoding incl. host tracker time")
     ap.add_argument("--channels", type=int, default=16)
     ap.add_argument("--backend", choices=["xla", "fast", "pallas"],
-                    default="fast",
+                    default="xla",
                     help="pyramid front-end formulation (ops/dechirp direct "
                          "matmul vs ops/overlap_dft chunk decomposition)")
     args = ap.parse_args()

@@ -69,7 +69,8 @@ class GatewayPlan(NamedTuple):
 
 
 def make_gateway(cfg: LoraConfig, mesh: Mesh, num_channels: int,
-                 block_len: int, max_packets: int = 8) -> GatewayPlan:
+                 block_len: int, max_packets: int = 8,
+                 gather_results: bool = False) -> GatewayPlan:
     """Build the jitted multi-chip gateway receive step.
 
     Input: float32 ``iq[num_channels, nt*block_len, 2]`` sharded
@@ -79,6 +80,11 @@ def make_gateway(cfg: LoraConfig, mesh: Mesh, num_channels: int,
     empty slots), ``cnt int32[C, nt]``, ``dropped int32[C, nt]`` (completed
     packets that overflowed a shard's ``max_packets`` slots — visible, not
     silent; the reference only prints).
+
+    ``gather_results=True`` all-gathers the (tiny) packet outputs across the
+    whole mesh so they come back fully replicated — required in multi-host
+    runs (dist/multihost.py), where a process can only read the shards it
+    hosts.
     """
     nt = mesh.shape["t"]
     nch = mesh.shape["ch"]
@@ -120,13 +126,27 @@ def make_gateway(cfg: LoraConfig, mesh: Mesh, num_channels: int,
         gpos = jnp.where(own, gpos, -1)
         gpos = jnp.take_along_axis(gpos, order, axis=1)
         cnt = jnp.sum(own, axis=1, dtype=jnp.int32)[:, None]
-        return syms, lens, gpos, cnt, dropped[:, None]
+        outs = (syms, lens, gpos, cnt, dropped[:, None])
+        if not gather_results:
+            return outs
 
+        def rep(x):
+            # [c_local, S, ...] per shard -> [C, nt*S, ...] replicated.
+            x = jax.lax.all_gather(x, "t", axis=1)      # [cl, nt, S, ...]
+            x = jax.lax.all_gather(x, "ch", axis=0)     # [nch, cl, nt, S, .]
+            s = x.shape
+            return x.reshape(s[0] * s[1], s[2] * s[3], *s[4:])
+
+        return jax.tree.map(rep, outs)
+
+    spec = (P(None, None, None), P(None, None), P(None, None),
+            P(None, None), P(None, None)) if gather_results else \
+        (P("ch", "t", None), P("ch", "t"), P("ch", "t"),
+         P("ch", "t"), P("ch", "t"))
     inner = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=P("ch", "t", None),
-        out_specs=(P("ch", "t", None), P("ch", "t"), P("ch", "t"),
-                   P("ch", "t"), P("ch", "t")),
+        out_specs=spec,
         # The demod FSM's lax.cond branches mix varying and invariant
         # constants; skip the VMA (varying-manual-axes) static check.
         check_vma=False,

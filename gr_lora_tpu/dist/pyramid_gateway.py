@@ -4,8 +4,8 @@ The reference's headline feature — real-time collision decoding
 (pyramid_demod_impl.cc, README.md:2-5) — is single-channel, single-stream.
 This module scales it to a gateway's channel matrix:
 
-- **Dense half (TPU)**: the peak lattice (models/pyramid.peak_lattice_fn,
-  default = the overlap-decomposed fast front-end) is vmapped over channels
+- **Dense half (TPU)**: the peak lattice (models/pyramid.peak_lattice_fn)
+  is vmapped over channels
   and, given a mesh, shard_mapped over a ``{ch, t}`` device grid: channels
   are pure data parallelism; the time axis is split into blocks with an
   overlap-save right halo of ``N - hop`` samples moved by ``ppermute`` so
@@ -100,7 +100,7 @@ class PyramidGateway:
     def __init__(self, cfg: LoraConfig, channels: int,
                  block_hops: int = 1024, max_peaks: int = 16,
                  grace: int = 0, mesh: Mesh | None = None,
-                 backend: str = "fast", use_native: bool | None = None,
+                 backend: str = "xla", use_native: bool | None = None,
                  decode_payloads: bool = True):
         n = cfg.num_samples
         self.cfg = cfg

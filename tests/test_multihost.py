@@ -1,0 +1,66 @@
+"""Two-process gateway over the distributed runtime (VERDICT r1 #3).
+
+Spawns two real OS processes (4 virtual CPU devices each), forms one
+8-device {ch:1, t:8} mesh spanning both, and decodes a capture whose
+channel-1 packet STRADDLES the process seam — proving halo exchange and
+single-decode ownership work across process (DCN-analog) boundaries, and
+that replicated result gathering gives both hosts the same PDU set.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_gateway_with_seam_packet():
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)   # worker forces cpu via jax.config
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, _WORKER, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=280)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        outs.append(json.loads(line))
+
+    a, b = outs
+    # Disjoint halves of the stream...
+    assert a["range"][1] == b["range"][0]
+    # ...but identical, complete result sets on both hosts (replicated).
+    assert a["packets"] == b["packets"], (a, b)
+    assert a["dropped"] == 0
+    pkts = a["packets"]
+    # Both channels' packets decoded exactly once, channel 1's spanning
+    # the seam.
+    chans = sorted(p[0] for p in pkts)
+    assert chans == [0, 1], pkts
+    for c, pos, pdu in pkts:
+        assert pdu.startswith(a["expected_payload"]), pkts
+        # pos is the preamble-detection index: a few symbols into the
+        # packet (4 consecutive argmax windows + prefill).
+        assert 0 <= pos - a["offs"][c] <= 8 * 128, (pos, a["offs"][c])
