@@ -77,8 +77,14 @@ def make_step(cfg, num_frames: int, hop: int, backend: str = "xla"):
         fa, faw, hs = fn(row_chunks(iq, cfg, num_frames))
         return fa[:num_frames], faw[:num_frames], hs[:num_frames]
 
+    def spectra_fastp(iq):
+        from gr_lora_tpu.ops.pallas_overlap import make_overlap_spectra
+        fn = make_overlap_spectra(cfg, num_frames,
+                                  interpret=jax.default_backend() != "tpu")
+        return fn(iq)
+
     spectra = {"xla": spectra_xla, "fast": spectra_fast,
-               "pallas": spectra_pallas}[backend]
+               "pallas": spectra_pallas, "fastp": spectra_fastp}[backend]
 
     def step(iq):
         fft_add, fft_add_w, h_single = spectra(iq)
@@ -103,7 +109,7 @@ def frontend_flops(cfg, num_frames: int, backend: str) -> dict:
     r = 8
     h = n // r
     if backend == "xla":
-        cols = 2 * (2 * k + k)          # two variants x BandSpec(2K, K)
+        cols = 2 * (k + k)              # two variants x BandSpec(K, K)
         matmul = num_frames * n * cols * 8
         elem = num_frames * 3 * k * 4   # mags + folds
     else:
@@ -140,7 +146,8 @@ def main():
                          "pyramid_gateway: end-to-end multi-channel "
                          "collision decoding incl. host tracker time")
     ap.add_argument("--channels", type=int, default=16)
-    ap.add_argument("--backend", choices=["xla", "fast", "pallas"],
+    ap.add_argument("--backend",
+                    choices=["xla", "fast", "pallas", "fastp"],
                     default="xla",
                     help="pyramid front-end formulation (ops/dechirp direct "
                          "matmul vs ops/overlap_dft chunk decomposition)")

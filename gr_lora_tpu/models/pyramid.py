@@ -70,6 +70,14 @@ def peak_lattice_fn(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
     hop = n // PYRAMID_OVERLAP_FACTOR
     r = n // hop
 
+    if backend == "xla":
+        # The direct two-variant plan only exists below the matmul size
+        # cap (ops/dft._DIRECT_MAX_ELEMS); beyond it (large sf x p x
+        # fft_factor) the overlap-decomposed path is the one that scales.
+        from ..ops.dft import _DIRECT_MAX_ELEMS
+        if n * 4 * cfg.bin_size > _DIRECT_MAX_ELEMS:
+            backend = "fast"
+
     def spectra_xla(iq):
         chunks = iq[: (num_hops + r - 1) * hop].reshape(-1, hop, 2)
         frames = jnp.stack(
@@ -90,8 +98,13 @@ def peak_lattice_fn(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
         from ..ops.overlap_dft import fast_pyramid_spectra
         return fast_pyramid_spectra(iq, cfg, num_hops)
 
+    def spectra_fastp(iq):
+        from ..ops.pallas_overlap import make_overlap_spectra
+        interpret = jax.default_backend() != "tpu"
+        return make_overlap_spectra(cfg, num_hops, interpret=interpret)(iq)
+
     spectra = {"xla": spectra_xla, "pallas": spectra_pallas,
-               "fast": spectra_fast}[backend]
+               "fast": spectra_fast, "fastp": spectra_fastp}[backend]
 
     def run(iq):
         fft_add, fft_add_w, h_single = spectra(iq)

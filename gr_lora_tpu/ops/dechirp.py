@@ -7,14 +7,23 @@ multiply, optional Kaiser window, zero-padded FFT and band selection are all
 fused into MXU matmuls by ZoomDftPlan (see ops/dft.py) because this TPU
 backend exposes neither an FFT nor complex dtypes.
 
-Folding conventions (careful, they differ in the reference):
+Folding conventions (careful — this is a reference landmine, SURVEY.md §7):
 
 - demod & weak fold mags[:K] + mags[F-K:] (demod_impl.cc:176,
-  weak_demod_impl.cc:164) — the physically right fold: a cyclically wrapped
-  dechirped tone lands in the top K bins.
-- pyramid folds mags[:K] + mags[K:2K] (pyramid_demod_impl.cc:596,603) and
-  recovers the wrapped component separately via h_single = max of the two
-  edge bins (pyramid_demod_impl.cc:269).  Carried over verbatim for parity.
+  weak_demod_impl.cc:164) — the physically right fold: the "ghost" splice
+  tone of a window straddling two chirps sits at negative frequencies,
+  i.e. the top K bins.
+- pyramid folds mags[:K] + mags[K:2K] (pyramid_demod_impl.cc:596,603).
+  At the reference's validated operating point fs/bw = 2 the spectrum has
+  F = 2K bins, so [K, 2K) IS the top band and the fold is correct.  At
+  fs/bw > 2 (the GRC default is 8, lora_pyramid_demod.block.yml:31)
+  [K, 2K) covers frequencies (+bw, +2bw) that a dechirped tone can never
+  occupy, the ghost lands unfolded in [F-K, F), windowed peaks vanish for
+  the tail hops of every straddled symbol, and preamble tracks fragment
+  below the classification length — the reference's own pyramid cannot
+  work at its advertised default ratio.  We therefore fold
+  mags[:K] + mags[F-K:] for ALL p: bit-identical to the reference at
+  p = 2, and actually functional at p = 8 (tests/test_envelope_corners).
 """
 
 from __future__ import annotations
@@ -67,7 +76,7 @@ def _down_plan(sf: int, p: int, fft_factor: int,
 @lru_cache(maxsize=None)
 def _pyramid_plan(sf: int, p: int, fft_factor: int, beta: float,
                   precision: str = "highest") -> ZoomDftPlan:
-    """Pyramid needs bins [0, 2K) + top K, both unwindowed and
+    """Pyramid needs bins [0, K) + top K, both unwindowed and
     Kaiser-windowed — fused as two variants of ONE packed matmul."""
     _, down = chirp_tables(sf, p)
     n = p << sf
@@ -75,7 +84,7 @@ def _pyramid_plan(sf: int, p: int, fft_factor: int, beta: float,
     assert 2 * k <= fft_factor * n, "pyramid fold requires p >= 2 (reference uses 8)"
     import numpy as _np
     mods = _np.stack([down, down * kaiser_window(n, beta)])
-    return ZoomDftPlan(n, fft_factor * n, BandSpec(2 * k, k), mods,
+    return ZoomDftPlan(n, fft_factor * n, BandSpec(k, k), mods,
                        precision=precision)
 
 
@@ -134,17 +143,17 @@ def pyramid_spectra(frames: jnp.ndarray, cfg: LoraConfig):
     """Per-hop dense spectra for the pyramid demod, batched over frames.
 
     frames [B, N, 2] -> (fft_add, fft_add_w, h_single), each [B, K]:
-    - fft_add:   unwindowed, mags[:K] + mags[K:2K]   (pyramid_demod_impl.cc:596)
-    - fft_add_w: Kaiser-windowed, same fold           (pyramid_demod_impl.cc:603)
-    - h_single:  max(mags[:K], mags[F-K:])            (pyramid_demod_impl.cc:269)
+    - fft_add:   unwindowed, mags[:K] + mags[F-K:]
+      (== pyramid_demod_impl.cc:596's [K, 2K) fold at p = 2; the top-band
+      fold generalizes it correctly to p > 2 — see module docstring)
+    - fft_add_w: Kaiser-windowed, same fold          (pyramid_demod_impl.cc:603)
+    - h_single:  max(mags[:K], mags[F-K:])           (pyramid_demod_impl.cc:269)
     """
     plan = _pyramid_plan(cfg.sf, cfg.p, cfg.fft_factor, cfg.beta,
                          cfg.precision)
-    k = cfg.bin_size
-    (lo, hi), (lo_w, _) = plan(frames)
+    (lo, hi), (lo_w, hi_w) = plan(frames)
     mlo, mhi = cmag(lo), cmag(hi)
-    fft_add = mlo[..., :k] + mlo[..., k:]
-    h_single = jnp.maximum(mlo[..., :k], mhi)
-    mw = cmag(lo_w)
-    fft_add_w = mw[..., :k] + mw[..., k:]
+    fft_add = mlo + mhi
+    h_single = jnp.maximum(mlo, mhi)
+    fft_add_w = cmag(lo_w) + cmag(hi_w)
     return fft_add, fft_add_w, h_single

@@ -141,8 +141,10 @@ def fast_pyramid_spectra(iq: jnp.ndarray, cfg: LoraConfig, num_hops: int):
         term = cmul(gj, rho[j])
         x = term if x is None else x + term           # [H, F, 2]
 
+    # Top-band fold (== the reference's [K, 2K) fold at p = 2; correct for
+    # all p — see ops/dechirp.py docstring on the fold landmine).
     mags = cmag(x)
-    fft_add = mags[:, :k] + mags[:, k:2 * k]
+    fft_add = mags[:, :k] + mags[:, f - k:]
     h_single = jnp.maximum(mags[:, :k], mags[:, f - k:])
 
     taps = jnp.asarray(plan.win_taps)
@@ -151,5 +153,5 @@ def fast_pyramid_spectra(iq: jnp.ndarray, cfg: LoraConfig, num_hops: int):
         term = cmul(jnp.roll(x, shift, axis=1), taps[t])
         xw = term if xw is None else xw + term
     magw = cmag(xw)
-    fft_add_w = magw[:, :k] + magw[:, k:2 * k]
+    fft_add_w = magw[:, :k] + magw[:, f - k:]
     return fft_add, fft_add_w, h_single

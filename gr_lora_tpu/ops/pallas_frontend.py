@@ -17,13 +17,13 @@ multiple of 128 lanes; a frame is then _R consecutive rows concatenated along
 lanes — every copy is a full-row (aligned) move.  The weight matrices are
 row-permuted (and zero-row padded) on the host to match that layout.
 
-Components per output bin k (complex, so 10 real weight matrices):
-  c0: unwindowed dechirp, bins [0, K)        -> fft_add term / h_single term
-  c1: unwindowed,        bins [K, 2K)        -> fft_add term
-  c2: unwindowed,        bins [F-K, F)       -> h_single edge term
-  c3: Kaiser-windowed,   bins [0, K)         -> fft_add_w term
-  c4: Kaiser-windowed,   bins [K, 2K)        -> fft_add_w term
-(the windowed hi band is unused by the algorithm and skipped; reference
+Components per output bin k (complex, so 8 real weight matrices):
+  c0: unwindowed dechirp, bins [0, K)        -> fft_add / h_single term
+  c1: unwindowed,        bins [F-K, F)       -> fft_add / h_single term
+  c2: Kaiser-windowed,   bins [0, K)         -> fft_add_w term
+  c3: Kaiser-windowed,   bins [F-K, F)       -> fft_add_w term
+(top-band fold == the reference's [K, 2K) fold at its validated p = 2,
+generalized to all p — see ops/dechirp.py on the fold landmine; reference
 folding: pyramid_demod_impl.cc:596-603,269.)
 
 Compile note: Mosaic compilation through the axon tunnel is slow
@@ -66,7 +66,7 @@ def _row_perm(n: int, hop: int):
 
 
 def _component_weights(cfg: LoraConfig) -> list[np.ndarray]:
-    """The 10 real weight matrices in kernel row order (see docstring)."""
+    """The 8 real weight matrices in kernel row order (see docstring)."""
     n = cfg.num_samples
     f = cfg.fft_size
     k = cfg.bin_size
@@ -76,10 +76,9 @@ def _component_weights(cfg: LoraConfig) -> list[np.ndarray]:
     v1 = down * kaiser_window(n, cfg.beta)
     specs = [
         (v0, np.arange(0, k)),
-        (v0, np.arange(k, 2 * k)),
         (v0, np.arange(f - k, f)),
         (v1, np.arange(0, k)),
-        (v1, np.arange(k, 2 * k)),
+        (v1, np.arange(f - k, f)),
     ]
     perm, rows = _row_perm(n, hop)
     src_ok = perm >= 0
@@ -98,9 +97,9 @@ def _component_weights(cfg: LoraConfig) -> list[np.ndarray]:
 
 
 def _kernel(chunks_hbm, *refs, ft: int, w: int):
-    ws = refs[:10]
-    fft_add, fft_add_w, h_single = refs[10:13]
-    chunk_buf, frames, sems = refs[13:]
+    ws = refs[:8]
+    fft_add, fft_add_w, h_single = refs[8:11]
+    chunk_buf, frames, sems = refs[11:]
 
     i = pl.program_id(1)   # frame tile: innermost so weight blocks stay put
     # _R overlapping row-shifted DMAs: frame f needs chunk rows f..f+_R-1;
@@ -125,10 +124,10 @@ def _kernel(chunks_hbm, *refs, ft: int, w: int):
         yi = jnp.dot(x, ws[2 * j + 1][:], preferred_element_type=jnp.float32)
         return jnp.sqrt(yr * yr + yi * yi)
 
-    m0, m1, m2, m3, m4 = (cmag(j) for j in range(5))
+    m0, m1, m2, m3 = (cmag(j) for j in range(4))
     fft_add[:] = m0 + m1
-    h_single[:] = jnp.maximum(m0, m2)
-    fft_add_w[:] = m3 + m4
+    h_single[:] = jnp.maximum(m0, m1)
+    fft_add_w[:] = m2 + m3
 
 
 @lru_cache(maxsize=None)
@@ -157,7 +156,7 @@ def make_pallas_spectra(cfg: LoraConfig, num_frames: int,
     w_specs = [
         pl.BlockSpec((rows, kt), lambda j, i: (0, j),
                      memory_space=pltpu.VMEM)
-        for _ in range(10)
+        for _ in range(8)
     ]
     out_spec = pl.BlockSpec((ft, kt), lambda j, i: (i, j),
                             memory_space=pltpu.VMEM)
