@@ -39,8 +39,8 @@ def main():
     pkt = to_ri(modulate(encode(payload, cfg), cfg, pad_front=0, pad_back=0))
     iq = np.zeros((2, total, 2), np.float32)
     # One packet per channel; channel 1's packet STRADDLES the process seam
-    # (the host boundary at total//nproc).
-    seam = total // nproc
+    # (the host boundary at total//nproc; mid-stream for a single process).
+    seam = total // max(nproc, 2)
     offs = [cfg.num_samples, seam - len(pkt) // 2]
     for c, off in enumerate(offs):
         iq[c, off:off + len(pkt)] = pkt
@@ -57,11 +57,26 @@ def main():
             r = decode(syms, cfg)
             if r.ok:
                 got.append([c, pos, bytes(r.payload).hex()])
+    # Scaling measurement: steady-state samples/s of the sharded gateway
+    # step (the dense compute path; packet lists are tiny).
+    import time as _time
+
+    iters = 3
+    jax.block_until_ready(plan.fn(giq))
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        out = plan.fn(giq)
+    jax.block_until_ready(out)
+    dt = _time.perf_counter() - t0
+    sps = 2 * total * iters / dt     # 2 channels
+
     print(json.dumps({
         "pid": pid, "range": [lo, hi], "packets": got,
         "dropped": stats["dropped"],
         "expected_payload": payload.hex(),
         "offs": offs,
+        "samples_per_sec": sps,
+        "devices": len(jax.devices()),
     }), flush=True)
 
 
