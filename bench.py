@@ -344,13 +344,17 @@ def bench_per(args):
         for weak in (False, True):
             key = f"sf{sf}_{'weak' if weak else 'plain'}"
             pts = []
-            for snr in snrs:
-                shift = 3.0 if weak else 0.0   # ~+3 dB two-copy combining
-                per = per_point(weak_cfg if weak else cfg, snr - shift,
-                                trials,
+            # Weak: the two-copy combining finds packets ~3 dB deeper, but
+            # its always-on modulus-1 drift integrator (a reference
+            # landmine, weak_demod_impl.cc:196-217) random-walks on noisy
+            # fractional bins, so PACKET-perfect SNR is higher — sweep a
+            # range shifted up, not down.
+            sweep = [s + 6.0 for s in snrs] if weak else snrs
+            for snr in sweep:
+                per = per_point(weak_cfg if weak else cfg, snr, trials,
                                 seed=hash((sf, snr, weak)) % (1 << 31),
                                 weak=weak)
-                pts.append((snr - shift, per))
+                pts.append((snr, per))
             curves[key] = {
                 "snr_db": [s for s, _ in pts],
                 "per": [p for _, p in pts],

@@ -114,3 +114,33 @@ def test_pipelined_streaming_demod_equals_unpipelined():
     rb += b.flush()
     rb = [(p, s.tobytes()) for p, s in rb]
     assert ra == rb
+
+
+def test_udp_iq_source_live_feed():
+    """Live UDP datagrams -> UdpIqSource -> ring ingest == batch decode
+    (the rx_usrp.grc live-source analog)."""
+    _native_or_skip()
+    import socket
+    import threading
+
+    from gr_lora_tpu.apps.rx_stream import UdpIqSource
+    from gr_lora_tpu.pipeline.ingest import stream_demodulate
+
+    iq = _capture(num_pkts=2, seed=4)
+    raw = iq.tobytes()
+    src = UdpIqSource(0, idle_timeout=1.0)
+    port = src._sock.getsockname()[1]
+
+    def sender():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i in range(0, len(raw), 8192):
+            s.sendto(raw[i:i + 8192], ("127.0.0.1", port))
+            time.sleep(0.0005)
+        s.close()
+
+    t = threading.Thread(target=sender)
+    t.start()
+    got = [(p, s.tobytes()) for p, s in stream_demodulate(CFG, src)]
+    t.join()
+    src.close()
+    assert got == _batch_reference(iq)
