@@ -79,3 +79,22 @@ def test_weak_per_curve():
     assert lo <= 1 / TRIALS, lo      # near-clean at -8 dB (exact-match PER)
     assert hi >= 0.5, hi
     assert lo < hi
+
+
+def test_waterfall_artifact_machinery():
+    """The bench-mode PER machinery (vmapped trials + waterfall
+    interpolation) finds an SF7 waterfall in a physically plausible bracket
+    (ideal demod bound ~ -12.5 dB; this chain gives some of that back to
+    the 4-consecutive-argmax detector + hard-decision FEC)."""
+    import bench
+
+    cfg = LoraConfig(sf=7, cr=1, crc=True, ldr=False, explicit_header=False,
+                     payload_len=4, p=2, fft_factor=4)
+    pts = [(snr, bench.per_point(cfg, snr, trials=16, seed=7))
+           for snr in (-12.0, -8.0, -5.0, -2.0, 2.0)]
+    wf = bench._per_waterfall(pts)
+    assert wf is not None, pts
+    assert -13.0 <= wf <= -1.0, (wf, pts)
+    # Monotone-ish: worst at the bottom, clean at the top.
+    assert pts[0][1] >= 0.8, pts
+    assert pts[-1][1] <= 0.2, pts
