@@ -147,22 +147,34 @@ class TriggeredReceiver:
             self.dropped_events += int(
                 np.sum(np.maximum(nhits - self.max_events, 0)))
             win = min(scan_window(cfg), t)
+            # Re-trigger suppression: one event per PREAMBLE, not per max
+            # packet window — dense back-to-back traffic has many packets
+            # inside one window (they all demodulate from the same slice;
+            # the output dedupe below collapses cross-window repeats).
+            suppress = (NUM_PREAMBLE_CHIRPS + 4) * n
             events = []       # (channel, sample_start)
             for ch in range(c):
                 seen: list[int] = []
-                for e in range(self.max_events):
+                for e in sorted(range(self.max_events),
+                                key=lambda e: int(starts[ch, e])):
                     if not valid[ch, e]:
                         continue
                     pos = int(starts[ch, e]) * n
-                    # One event per packet: drop detections inside the
-                    # window of an already-accepted one.
-                    if any(abs(pos - s) < win // 2 for s in seen):
+                    if any(abs(pos - s) < suppress for s in seen):
                         continue
                     seen.append(pos)
-                    events.append((ch, max(min(pos - 2 * n, t - win), 0)))
+                    # Anchor the slice at ITS trigger (zero-pad past the
+                    # capture end) so the triggered packet is always the
+                    # first the FSM meets — clamping right would make
+                    # dense-traffic events share one window and exhaust
+                    # the packet slots on earlier packets.
+                    events.append((ch, max(pos - 2 * n, 0)))
             if not events:
                 continue
-            slices = np.stack([iq[ch, s:s + win] for ch, s in events])
+            slices = np.zeros((len(events), win, 2), np.float32)
+            for i, (ch, s) in enumerate(events):
+                seg = iq[ch, s:min(s + win, t)]
+                slices[i, :seg.shape[0]] = seg
             syms, lens, pos, cnt, dropped = (
                 np.asarray(x) for x in
                 jax.device_get(self._demod(cfg, win)(jnp.asarray(slices))))
@@ -174,5 +186,21 @@ class TriggeredReceiver:
                     if res.ok:
                         out.append(TriggeredPacket(
                             ch, sf, s + int(pos[i, r]), symbols, res))
-        out.sort(key=lambda p: (p.channel, p.position))
-        return out
+        # Overlapping event windows demodulate shared packets more than
+        # once (a packet is first in its own window and later in earlier
+        # windows); detection positions agree only to within a symbol or
+        # two of window phase, so merge same-(channel, sf, bytes) packets
+        # closer than 4 symbols.
+        out.sort(key=lambda p: (p.channel, p.sf, p.position))
+        deduped: list[TriggeredPacket] = []
+        for p in out:
+            n = self.cfgs[p.sf].num_samples
+            if deduped:
+                q = deduped[-1]
+                if (q.channel == p.channel and q.sf == p.sf
+                        and abs(p.position - q.position) < 4 * n
+                        and bytes(q.result.payload) == bytes(p.result.payload)):
+                    continue
+            deduped.append(p)
+        deduped.sort(key=lambda p: (p.channel, p.position))
+        return deduped
