@@ -10,14 +10,16 @@ factors and sharded over TPU device meshes.
 
 from .config import LoraConfig, PeakSearch
 
-__version__ = "0.1.0"
-__all__ = ["LoraConfig", "PeakSearch", "blocks", "__version__"]
+__version__ = "0.2.0"
+__all__ = ["LoraConfig", "PeakSearch", "blocks", "blocks_meta", "__version__"]
+
+_LAZY = ("blocks", "blocks_meta", "native")
 
 
 def __getattr__(name):
     # Lazy: the block-style API pulls in model modules on first touch.
     # (importlib, not `from . import`, to avoid __getattr__ recursion.)
-    if name in ("blocks", "native"):
+    if name in _LAZY:
         import importlib
         return importlib.import_module(f".{name}", __name__)
     raise AttributeError(name)
