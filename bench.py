@@ -108,7 +108,7 @@ def frontend_flops(cfg, num_frames: int, backend: str) -> dict:
     f = cfg.fft_size
     r = 8
     h = n // r
-    if backend == "xla":
+    if backend in ("xla", "pallas"):    # both run the DIRECT formulation
         cols = 2 * (k + k)              # two variants x BandSpec(K, K)
         matmul = num_frames * n * cols * 8
         elem = num_frames * 3 * k * 4   # mags + folds

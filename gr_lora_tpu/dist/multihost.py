@@ -99,14 +99,6 @@ def multihost_gateway_receive(plan: GatewayPlan, global_iq,
     ``gather_results=True`` so outputs are replicated.  Returns the same
     per-channel (position, symbols) lists as gateway_receive on every
     process."""
-    import jax
+    from .gateway import gateway_receive
 
-    syms, lens, pos, cnt, dropped = (np.asarray(x) for x in
-                                     jax.device_get(plan.fn(global_iq)))
-    out = []
-    for c in range(syms.shape[0]):
-        live = [(int(pos[c, r]), syms[c, r, :lens[c, r]].copy())
-                for r in range(syms.shape[1]) if pos[c, r] >= 0]
-        live.sort(key=lambda t: t[0])
-        out.append(live)
-    return out, {"dropped": int(np.sum(dropped))}
+    return gateway_receive(plan, global_iq, cfg, return_stats=True)

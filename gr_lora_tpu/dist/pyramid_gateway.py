@@ -47,26 +47,29 @@ class _LatticePlan(NamedTuple):
 
 def _pack_peaks(outs):
     """(bins, h, hs, valid) -> uint32[..., M, 2]: 8 B/peak instead of 13
-    for the device->host fetch (bins+valid packed in word 0; f16 heights in
-    word 1 — height gates in the tracker are ratio tests, far above f16
-    resolution)."""
+    for the device->host fetch (bins+valid packed in word 0; bf16 heights
+    in word 1 — bf16 keeps float32's range, so un-normalized strong inputs
+    cannot overflow, and its ~0.4 % resolution is far inside the tracker's
+    ratio gates).  Bin range is validated at plan build (< 2^16)."""
     bins, h, hs, valid = outs
     w0 = bins.astype(jnp.uint32) | (valid.astype(jnp.uint32) << 16)
     h16 = jax.lax.bitcast_convert_type(
-        h.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+        h.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
     s16 = jax.lax.bitcast_convert_type(
-        hs.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+        hs.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
     return jnp.stack([w0, h16 | (s16 << 16)], axis=-1)
+
+
+def _bf16_to_f32(u16: np.ndarray) -> np.ndarray:
+    return (u16.astype(np.uint32) << 16).view(np.float32)
 
 
 def _unpack_peaks(w: np.ndarray):
     w = np.asarray(w)
     bins = (w[..., 0] & 0xFFFF).astype(np.int32)
     valid = (w[..., 0] >> 16).astype(bool)
-    h = (w[..., 1] & 0xFFFF).astype(np.uint16).view(np.float16) \
-        .astype(np.float32)
-    hs = (w[..., 1] >> 16).astype(np.uint16).view(np.float16) \
-        .astype(np.float32)
+    h = _bf16_to_f32((w[..., 1] & 0xFFFF).astype(np.uint16))
+    hs = _bf16_to_f32((w[..., 1] >> 16).astype(np.uint16))
     return bins, h, hs, valid
 
 
@@ -76,6 +79,9 @@ def _make_batched_lattice(cfg: LoraConfig, mesh: Mesh | None,
     n = cfg.num_samples
     hop = n // PYRAMID_OVERLAP_FACTOR
     halo = n - hop
+    if cfg.bin_size > 1 << 16:
+        raise ValueError(
+            f"bin_size {cfg.bin_size} exceeds the 16-bit peak packing")
     run_raw = peak_lattice_fn(cfg, block_hops, max_peaks, backend)
 
     def run(iq):
@@ -156,6 +162,10 @@ class PyramidGateway:
             self.trackers = _PyTrackerBank(cfg, channels, grace)
         self._grace = grace
         self._pending = np.zeros((channels, 0, 2), np.float32)
+        # One block in flight: the device computes block i+1's lattice
+        # while the host walks block i's peaks (jax dispatch is async; only
+        # the peak fetch synchronizes).
+        self._inflight = None
 
     # -- streaming ingest -------------------------------------------------
     def _block_len(self) -> int:
@@ -173,12 +183,14 @@ class PyramidGateway:
         out: list[GatewayPacket] = []
         while buf.shape[1] >= need:
             block = np.ascontiguousarray(buf[:, :need])
-            out += self._run_block(block)
+            outs = self._dispatch(block)
+            out += self._drain_inflight()   # previous block, overlapped
+            self._inflight = outs
             buf = buf[:, self._block_len():]
         self._pending = buf
         return out
 
-    def _run_block(self, block: np.ndarray) -> list[GatewayPacket]:
+    def _dispatch(self, block: np.ndarray):
         if self._plan.in_sharding is not None:
             # Own regions sharded P('ch','t'); the trailing halo (the next
             # block's head) rides along t-replicated for the last shard.
@@ -186,10 +198,14 @@ class PyramidGateway:
                 np.ascontiguousarray(block[:, :self._block_len()]),
                 self._plan.in_sharding)
             tail = np.ascontiguousarray(block[:, self._block_len():])
-            outs = self._plan.fn(own, tail)
-        else:
-            outs = self._plan.fn(jnp.asarray(block))
-        bins, h, hs, valid = _unpack_peaks(jax.device_get(outs))
+            return self._plan.fn(own, tail)
+        return self._plan.fn(jnp.asarray(block))
+
+    def _drain_inflight(self) -> list[GatewayPacket]:
+        if self._inflight is None:
+            return []
+        bins, h, hs, valid = _unpack_peaks(jax.device_get(self._inflight))
+        self._inflight = None
         self.trackers.feed(bins, h, hs, valid)
         return self._collect()
 
@@ -205,7 +221,9 @@ class PyramidGateway:
         drain_hops = (self.trackers.flush_hops() + self._grace
                       + self.block_hops)
         pad = drain_hops * self._hop + self._halo
-        return self.feed(np.zeros((self.channels, pad, 2), np.float32))
+        out = self.feed(np.zeros((self.channels, pad, 2), np.float32))
+        out += self._drain_inflight()
+        return out
 
     def stats(self) -> dict:
         return self.trackers.stats()

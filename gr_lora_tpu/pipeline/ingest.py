@@ -98,6 +98,11 @@ class RingIngest:
                 yield raw.view(np.float32).reshape(-1, 2)
                 continue
             if self._eof.is_set():
+                # EOF can land between the readable check and here with up
+                # to capacity_blocks of data still in the ring: drain every
+                # remaining FULL block before the partial-tail epilogue.
+                while self._ring.readable >= want:
+                    yield self._ring.read(want).view(np.float32).reshape(-1, 2)
                 break
             time.sleep(backoff)
             backoff = min(backoff * 2, 1e-3)
