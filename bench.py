@@ -316,6 +316,18 @@ def _per_waterfall(points):
     return None
 
 
+def _write_per_artifact(args, curves):
+    import os
+
+    import jax
+
+    os.makedirs("docs", exist_ok=True)
+    artifact = {"device": jax.devices()[0].device_kind, "p": args.p,
+                "precision": args.precision, "curves": curves}
+    with open("docs/per_curves.json", "w") as f:
+        json.dump(artifact, f, indent=1)
+
+
 def bench_per(args):
     """PER-vs-SNR curves (plain FSM + weak demod), SF7-SF12, written to
     docs/per_curves.json; asserts the SF8 waterfall near the documented
@@ -340,7 +352,10 @@ def bench_per(args):
                 (-4.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 4.0, 6.0)]
         # Weak demod needs the GRC-default fine zoom (fft_factor=8): its
         # modulus-1 drift compensator misfires on coarse-bin quantization.
-        weak_cfg = cfg.replace(fft_factor=8)
+        # At sf >= 9 the ff=8 zoom-DFT weight constant exceeds the axon
+        # remote-compile body limit; ff=4 is validated clean there (bins
+        # are absolutely finer at high SF, so the compensator holds).
+        weak_cfg = cfg.replace(fft_factor=8 if sf < 9 else 4)
         for weak in (False, True):
             key = f"sf{sf}_{'weak' if weak else 'plain'}"
             pts = []
@@ -363,15 +378,12 @@ def bench_per(args):
             }
             print(f"# {key}: waterfall={curves[key]['waterfall_db']} "
                   f"{pts}", file=sys.stderr)
+            _write_per_artifact(args, curves)   # incremental (long TPU run)
     dt = time.perf_counter() - t0
 
-    import os
-    os.makedirs("docs", exist_ok=True)
+    import jax
+
     dev = jax.devices()[0]
-    artifact = {"device": dev.device_kind, "p": args.p,
-                "precision": args.precision, "curves": curves}
-    with open("docs/per_curves.json", "w") as f:
-        json.dump(artifact, f, indent=1)
 
     wf8 = curves.get("sf8_plain", {}).get("waterfall_db")
     print(json.dumps({
