@@ -90,3 +90,19 @@ def test_rx_stream_cli(tmp_path, capsys):
     assert rx_stream.main([str(path), "--chunk", "4096"]) == 0
     out = capsys.readouterr().out
     assert "06 30 f0 01 02 03 04 05 06 05 08 01" in out
+
+
+def test_plot_per_renders_svg(tmp_path):
+    import json
+
+    from gr_lora_tpu.apps.plot_per import render
+
+    art = {"device": "cpu", "p": 2, "precision": "default", "curves": {
+        f"sf{sf}_{kind}": {"snr_db": [-12.0, -8.0, -4.0],
+                           "per": [1.0, 0.5, 0.0], "trials": 4,
+                           "waterfall_db": -8.0}
+        for sf in (7, 8) for kind in ("plain", "weak")}}
+    svg = render(art)
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert svg.count("SF7") == 1 and svg.count("SF8") == 1
+    assert "plain FSM" in svg and "weak demod" in svg
