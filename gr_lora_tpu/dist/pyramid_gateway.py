@@ -121,6 +121,11 @@ class GatewayPacket(NamedTuple):
     channel: int
     symbols: np.ndarray
     result: DecodeResult
+    #: The tracker's preamble reference timestamp: sample index (mod 2^28)
+    #: of the walked-back apex of the last trackable preamble chirp, i.e.
+    #: ~7 symbols after the packet's first sample.  Beyond the reference,
+    #: whose pyramid publishes positionless symbol PDUs.
+    position: int = -1
 
 
 class PyramidGateway:
@@ -211,9 +216,9 @@ class PyramidGateway:
 
     def _collect(self) -> list[GatewayPacket]:
         out = []
-        for ch, syms in self.trackers.drain():
+        for ch, pos, syms in self.trackers.drain():
             res = decode(syms, self.cfg) if self._decode else None
-            out.append(GatewayPacket(ch, syms, res))
+            out.append(GatewayPacket(ch, syms, res, pos))
         return out
 
     def flush(self) -> list[GatewayPacket]:
@@ -256,9 +261,10 @@ class _PyTrackerBank:
     def drain(self):
         out = []
         for ch, bank in enumerate(self._banks):
-            new = bank.symbols_out[self._drained[ch]:]
+            lo = self._drained[ch]
+            new = list(zip(bank.positions_out[lo:], bank.symbols_out[lo:]))
             self._drained[ch] = len(bank.symbols_out)
-            out += [(ch, s) for s in new]
+            out += [(ch, pos, s) for pos, s in new]
         return out
 
     def stats(self) -> dict:

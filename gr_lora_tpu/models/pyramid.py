@@ -193,6 +193,9 @@ class PyramidTracker:
         self.tracks: list[_Track] = []
         self.packets: list[_Packet] = []
         self.symbols_out: list[np.ndarray] = []
+        #: Preamble timestamp (sample index mod 2^28) per symbols_out entry
+        #: — beyond-reference: the reference publishes positionless PDUs.
+        self.positions_out: list[int] = []
         # Graceful pool-exhaustion counters (the reference exit(-1)s,
         # pyramid_demod_impl.cc:256-260; we drop + count).
         self.tracks_dropped = 0
@@ -395,6 +398,7 @@ class PyramidTracker:
             lo = _pmod(lo + self.n, _TS_MOD)
         if len(symbols) >= 8:       # min LoRa payload (:755)
             self.symbols_out.append(np.asarray(symbols, dtype=np.uint16))
+            self.positions_out.append(int(pre_ts))
 
     def step(self, bins=(), hs=(), hss=()):
         """Process one hop's extracted peaks (possibly none)."""

@@ -90,6 +90,10 @@ def _load() -> ctypes.CDLL | None:
         lib.lora_pyramid_pending.argtypes = [ctypes.c_void_p]
         lib.lora_pyramid_pop.restype = ctypes.c_int32
         lib.lora_pyramid_pop.argtypes = [ctypes.c_void_p, u16p, ctypes.c_int32]
+        _i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.lora_pyramid_pop_ts.restype = ctypes.c_int32
+        lib.lora_pyramid_pop_ts.argtypes = [ctypes.c_void_p, u16p,
+                                            ctypes.c_int32, _i64p]
         lib.lora_pyramid_flush_hops.restype = ctypes.c_int32
         lib.lora_pyramid_flush_hops.argtypes = [ctypes.c_void_p]
         i64p = ctypes.POINTER(ctypes.c_int64)
@@ -109,6 +113,10 @@ def _load() -> ctypes.CDLL | None:
         lib.lora_pyramid_multi_pop.argtypes = [ctypes.c_void_p,
                                                ctypes.c_int32, u16p,
                                                ctypes.c_int32]
+        lib.lora_pyramid_multi_pop_ts.restype = ctypes.c_int32
+        lib.lora_pyramid_multi_pop_ts.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_int32, u16p,
+                                                  ctypes.c_int32, i64p]
         lib.lora_pyramid_multi_flush_hops.restype = ctypes.c_int32
         lib.lora_pyramid_multi_flush_hops.argtypes = [ctypes.c_void_p]
         lib.lora_pyramid_multi_stats.argtypes = [ctypes.c_void_p, i64p]
@@ -336,19 +344,22 @@ class MultiPyramidTracker:
     def flush_hops(self) -> int:
         return int(self._lib.lora_pyramid_multi_flush_hops(self._h))
 
-    def drain(self) -> list[tuple[int, np.ndarray]]:
-        """All finished packets as (channel, symbols) tuples."""
+    def drain(self) -> list[tuple[int, int, np.ndarray]]:
+        """All finished packets as (channel, position, symbols) tuples;
+        position is the preamble sample index (mod 2^28)."""
         import ctypes as _ct
         out = []
         buf = np.zeros(4096, np.uint16)
+        ts = _ct.c_int64(0)
         for c in range(self.channels):
             while self._lib.lora_pyramid_multi_pending(self._h, c) > 0:
-                n = self._lib.lora_pyramid_multi_pop(
+                n = self._lib.lora_pyramid_multi_pop_ts(
                     self._h, c,
-                    buf.ctypes.data_as(_ct.POINTER(_ct.c_uint16)), len(buf))
+                    buf.ctypes.data_as(_ct.POINTER(_ct.c_uint16)), len(buf),
+                    _ct.byref(ts))
                 if n < 0:
                     break
-                out.append((c, buf[:n].copy()))
+                out.append((c, int(ts.value), buf[:n].copy()))
         return out
 
     def stats(self) -> dict:

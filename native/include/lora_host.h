@@ -70,6 +70,10 @@ void lora_pyramid_step(lora_pyramid* t, const int32_t* bins, const float* h,
 int32_t lora_pyramid_pending(const lora_pyramid* t);
 /* Pop one finished packet's symbols; returns count, -1 empty, -2 cap. */
 int32_t lora_pyramid_pop(lora_pyramid* t, uint16_t* dst, int32_t cap);
+/* As pop, also yielding the packet's preamble timestamp (sample index mod
+ * 2^28; ts may be NULL). */
+int32_t lora_pyramid_pop_ts(lora_pyramid* t, uint16_t* dst, int32_t cap,
+                            int64_t* ts);
 /* Empty hops needed to retire all tracks and expire all TTLs. */
 int32_t lora_pyramid_flush_hops(const lora_pyramid* t);
 /* Graceful-degradation counters: {tracks_dropped, packets_dropped,
@@ -96,6 +100,8 @@ int32_t lora_pyramid_multi_pending(const lora_pyramid_multi* m,
                                    int32_t channel);
 int32_t lora_pyramid_multi_pop(lora_pyramid_multi* m, int32_t channel,
                                uint16_t* dst, int32_t cap);
+int32_t lora_pyramid_multi_pop_ts(lora_pyramid_multi* m, int32_t channel,
+                                  uint16_t* dst, int32_t cap, int64_t* ts);
 int32_t lora_pyramid_multi_flush_hops(const lora_pyramid_multi* m);
 void lora_pyramid_multi_stats(const lora_pyramid_multi* m, int64_t* out3);
 

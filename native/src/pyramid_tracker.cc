@@ -68,6 +68,7 @@ struct lora_pyramid {
   std::vector<Track> tracks;
   std::vector<Packet> packets;
   std::deque<std::vector<uint16_t>> out;
+  std::deque<int64_t> out_ts;  // preamble timestamp (samples) per packet
   // Graceful-degradation counters (visible via lora_pyramid_stats).
   int64_t tracks_dropped = 0;
   int64_t packets_dropped = 0;
@@ -281,7 +282,10 @@ struct lora_pyramid {
       start_idx = end_idx;
       lo = pmod(lo + n, TS_MOD);
     }
-    if (symbols.size() >= 8) out.push_back(std::move(symbols));
+    if (symbols.size() >= 8) {
+      out.push_back(std::move(symbols));
+      out_ts.push_back(pre_ts);
+    }
   }
 
   void step(const int32_t* bins, const float* h, const float* hs, int np) {
@@ -328,6 +332,23 @@ int32_t lora_pyramid_pop(lora_pyramid* t, uint16_t* dst, int32_t cap) {
   if (nsc > cap) return -2;
   std::memcpy(dst, s.data(), nsc * sizeof(uint16_t));
   t->out.pop_front();
+  t->out_ts.pop_front();
+  return nsc;
+}
+
+/* As lora_pyramid_pop, but also yields the packet's preamble timestamp
+ * (absolute sample index modulo TS_MOD; the reference publishes symbol
+ * PDUs without position — this is the gateway-side extension). */
+int32_t lora_pyramid_pop_ts(lora_pyramid* t, uint16_t* dst, int32_t cap,
+                            int64_t* ts) {
+  if (t->out.empty()) return -1;
+  const auto& s = t->out.front();
+  const int32_t nsc = (int32_t)s.size();
+  if (nsc > cap) return -2;
+  std::memcpy(dst, s.data(), nsc * sizeof(uint16_t));
+  if (ts) *ts = t->out_ts.front();
+  t->out.pop_front();
+  t->out_ts.pop_front();
   return nsc;
 }
 
@@ -419,6 +440,12 @@ int32_t lora_pyramid_multi_pop(lora_pyramid_multi* m, int32_t channel,
                                uint16_t* dst, int32_t cap) {
   if (channel < 0 || channel >= (int32_t)m->banks.size()) return -1;
   return lora_pyramid_pop(&m->banks[channel], dst, cap);
+}
+
+int32_t lora_pyramid_multi_pop_ts(lora_pyramid_multi* m, int32_t channel,
+                                  uint16_t* dst, int32_t cap, int64_t* ts) {
+  if (channel < 0 || channel >= (int32_t)m->banks.size()) return -1;
+  return lora_pyramid_pop_ts(&m->banks[channel], dst, cap, ts);
 }
 
 int32_t lora_pyramid_multi_flush_hops(const lora_pyramid_multi* m) {

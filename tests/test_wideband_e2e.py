@@ -108,7 +108,7 @@ def test_wideband_chain_to_udp():
     gw = PyramidGateway(PYR_CFG, CHANNELS, block_hops=512)
     for pkt in gw.feed(chans) + gw.flush():
         if pkt.result is not None and pkt.result.ok and pkt.result.crc_ok:
-            sink.emit(PduEvent(pkt.channel, 8, 0,
+            sink.emit(PduEvent(pkt.channel, 8, pkt.position,
                                bytes(pkt.result.payload), pkt.result.crc_ok))
 
     # Collect UDP datagrams (wire format: ch, sf, pos_le32, payload).
@@ -155,11 +155,19 @@ def test_wideband_chain_to_udp():
         pos = matches[0][2]
         assert 0 <= pos - off <= 10 * n, (pos, off)
 
-    # Collision pair: both golden PDUs exactly once on the collision channel.
+    # Collision pair: both golden PDUs exactly once on the collision
+    # channel, positions near the injected preamble starts.
+    n8 = PYR_CFG.num_samples
     m1 = hits(lambda g: g[0] == COLL_CH and g[3] == PDU_1)
     m2 = hits(lambda g: g[0] == COLL_CH and g[3] == PDU_2)
     assert len(m1) == 1, (m1, deduped)
     assert len(m2) == 1, (m2, deduped)
+    # Pyramid positions are the tracker's preamble REFERENCE timestamp
+    # (the walked-back apex of the last trackable preamble chirp, ~7
+    # symbols after packet start).
+    off2 = 1000 + 16 * n8 + 4 * n8 // 8 + 204
+    assert 0 <= m1[0][2] - 1000 <= 10 * n8, m1
+    assert 0 <= m2[0][2] - off2 <= 10 * n8, m2
 
     # Nothing survives on the idle channel.
     assert not hits(lambda g: g[0] == 3), deduped
