@@ -293,7 +293,7 @@ def per_point(cfg, snr_db, trials, seed, weak=False):
     if weak:
         syms, lens, cnt, _ = (np.asarray(x) for x in outs)
     else:
-        syms, lens, _, cnt, _ = (np.asarray(x) for x in outs)
+        syms, lens, _, cnt, _, _ = (np.asarray(x) for x in outs)
     ok = 0
     for t in range(trials):
         for r in range(int(cnt[t])):

@@ -69,10 +69,14 @@ def main(argv=None) -> int:
             best[key] = p
     packets = sorted(best.values(), key=lambda p: (p.position, p.channel))
 
+    from ..models.demodulator import snr_db_estimate
+
     freqs = channel_frequencies(args.channels, args.spacing)
     for p in packets:
+        snr = snr_db_estimate(p.snr_ratio, rx.cfgs[p.sf])
         print(f"ch={p.channel} f={freqs[p.channel] / 1e3:+.0f}kHz sf={p.sf} "
-              f"@{p.position}: {format_pdu(bytes(p.result.payload))}")
+              f"@{p.position} snr={snr:+.1f}dB: "
+              f"{format_pdu(bytes(p.result.payload))}")
     return 0 if packets else 1
 
 

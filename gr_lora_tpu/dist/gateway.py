@@ -112,7 +112,7 @@ def make_gateway(cfg: LoraConfig, mesh: Mesh, num_channels: int,
                                  [(i + 1, i) for i in range(nt - 1)])
         extended = jnp.concatenate([left, iq_local, right], axis=1)
 
-        syms, lens, pos, cnt, dropped = jax.vmap(demod)(extended)
+        syms, lens, pos, cnt, dropped, snr = jax.vmap(demod)(extended)
         # Ownership: detection index inside [lh, lh + local_t).
         own = (pos >= lh) & (pos < lh + local_t)
         # Compact owned packets to the front of each channel's slot array so
@@ -126,7 +126,9 @@ def make_gateway(cfg: LoraConfig, mesh: Mesh, num_channels: int,
         gpos = jnp.where(own, gpos, -1)
         gpos = jnp.take_along_axis(gpos, order, axis=1)
         cnt = jnp.sum(own, axis=1, dtype=jnp.int32)[:, None]
-        outs = (syms, lens, gpos, cnt, dropped[:, None])
+        snr = jnp.where(own, snr, 0.0)
+        snr = jnp.take_along_axis(snr, order, axis=1)
+        outs = (syms, lens, gpos, cnt, dropped[:, None], snr)
         if not gather_results:
             return outs
 
@@ -140,9 +142,10 @@ def make_gateway(cfg: LoraConfig, mesh: Mesh, num_channels: int,
         return jax.tree.map(rep, outs)
 
     spec = (P(None, None, None), P(None, None), P(None, None),
-            P(None, None), P(None, None)) if gather_results else \
+            P(None, None), P(None, None), P(None, None)) \
+        if gather_results else \
         (P("ch", "t", None), P("ch", "t"), P("ch", "t"),
-         P("ch", "t"), P("ch", "t"))
+         P("ch", "t"), P("ch", "t"), P("ch", "t"))
     inner = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=P("ch", "t", None),
@@ -161,7 +164,7 @@ def gateway_receive(plan: GatewayPlan, iq: np.ndarray, cfg: LoraConfig,
     """Host convenience: run the gateway step and collect per-channel packet
     symbol lists (uint16 arrays), position-sorted.  With ``return_stats``,
     also returns {"dropped": int} so slot overflow is observable."""
-    syms, lens, pos, cnt, dropped = jax.device_get(plan.fn(iq))
+    syms, lens, pos, cnt, dropped, snr = jax.device_get(plan.fn(iq))
     out = []
     for c in range(iq.shape[0]):
         live = [(pos[c, r], syms[c, r, :lens[c, r]].copy())

@@ -29,6 +29,8 @@ class SfPacket:
     position: int
     symbols: np.ndarray
     result: DecodeResult
+    #: Peak/mean detection ratio (models.demodulator.snr_db_estimate).
+    snr_ratio: float = 0.0
 
 
 class MultiSFReceiver:
@@ -68,7 +70,7 @@ class MultiSFReceiver:
         total = iq.shape[1]
         out: list[SfPacket] = []
         for sf, cfg in self.cfgs.items():
-            syms, lens, pos, cnt, dropped = (
+            syms, lens, pos, cnt, dropped, snr = (
                 np.asarray(x) for x in jax.device_get(self._fn(sf, total)(iq)))
             self.dropped += int(np.sum(dropped))
             for c in range(iq.shape[0]):
@@ -76,6 +78,7 @@ class MultiSFReceiver:
                     s = syms[c, r, :lens[c, r]].copy()
                     res = decode(s, cfg)
                     if res.ok:
-                        out.append(SfPacket(c, sf, int(pos[c, r]), s, res))
+                        out.append(SfPacket(c, sf, int(pos[c, r]), s, res,
+                                            float(snr[c, r])))
         out.sort(key=lambda p: (p.channel, p.position))
         return out

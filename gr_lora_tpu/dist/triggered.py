@@ -104,6 +104,8 @@ class TriggeredPacket:
     position: int            # sample index of the detection window start
     symbols: np.ndarray
     result: DecodeResult
+    #: Peak/mean detection ratio (models.demodulator.snr_db_estimate).
+    snr_ratio: float = 0.0
 
 
 class TriggeredReceiver:
@@ -175,7 +177,7 @@ class TriggeredReceiver:
             for i, (ch, s) in enumerate(events):
                 seg = iq[ch, s:min(s + win, t)]
                 slices[i, :seg.shape[0]] = seg
-            syms, lens, pos, cnt, dropped = (
+            syms, lens, pos, cnt, dropped, snr = (
                 np.asarray(x) for x in
                 jax.device_get(self._demod(cfg, win)(jnp.asarray(slices))))
             self.dropped_packets += int(np.sum(dropped))
@@ -185,7 +187,8 @@ class TriggeredReceiver:
                     res = decode(symbols, cfg)
                     if res.ok:
                         out.append(TriggeredPacket(
-                            ch, sf, s + int(pos[i, r]), symbols, res))
+                            ch, sf, s + int(pos[i, r]), symbols, res,
+                            float(snr[i, r])))
         # Overlapping event windows demodulate shared packets more than
         # once (a packet is first in its own window and later in earlier
         # windows); detection positions agree only to within a symbol or

@@ -28,7 +28,7 @@ from ..config import (
 )
 from ..core.header import calc_sym_num
 from ..ops.cplx import to_ri
-from ..ops.dechirp import down_peak, up_peak
+from ..ops.dechirp import down_peak, up_peak, up_peak_stats
 
 _RESET, _PREFILL, _DETECT, _SFD, _HEADER, _PAYLOAD, _OUT = range(7)
 
@@ -136,6 +136,7 @@ class _State(NamedTuple):
     hist_len: jnp.ndarray
     sync_cnt: jnp.ndarray
     cfo: jnp.ndarray
+    snr: jnp.ndarray           # peak/mean ratio at preamble detection
     syms: jnp.ndarray          # float32[MS]
     sym_cnt: jnp.ndarray
     pkt_sym_len: jnp.ndarray
@@ -146,6 +147,7 @@ class _State(NamedTuple):
     out_syms: jnp.ndarray      # uint16[MP, MS]
     out_len: jnp.ndarray       # int32[MP]
     out_pos: jnp.ndarray       # int32[MP] packet start (global stream index)
+    out_snr: jnp.ndarray       # float32[MP] peak/mean ratio at detection
     out_cnt: jnp.ndarray
     it: jnp.ndarray
 
@@ -191,19 +193,24 @@ def _machine(cfg: LoraConfig, max_packets: int):
             ptr=jnp.int32(ptr), st=jnp.int32(_RESET),
             hist=jnp.zeros(REQUIRED_PREAMBLE_CHIRPS, jnp.int32),
             hist_len=jnp.int32(0), sync_cnt=jnp.int32(0),
-            cfo=jnp.float32(0.0), syms=jnp.zeros(ms, jnp.float32),
+            cfo=jnp.float32(0.0), snr=jnp.float32(0.0),
+            syms=jnp.zeros(ms, jnp.float32),
             sym_cnt=jnp.int32(0), pkt_sym_len=jnp.int32(implicit_psl),
             hdr_received=jnp.bool_(False), hdr_valid=jnp.bool_(False),
             pkt_start=jnp.int32(0), base=jnp.int32(base),
             out_syms=jnp.zeros((mp, ms), jnp.uint16),
             out_len=jnp.zeros(mp, jnp.int32),
-            out_pos=jnp.full(mp, -1, jnp.int32), out_cnt=jnp.int32(0),
+            out_pos=jnp.full(mp, -1, jnp.int32),
+            out_snr=jnp.zeros(mp, jnp.float32), out_cnt=jnp.int32(0),
             it=jnp.int32(0))
 
     def body(iq, s: _State):
         win = jax.lax.dynamic_slice(iq, (s.ptr, 0), (n, 2))
         midx, mval = up_peak(win, cfg)
         midx = midx.astype(jnp.int32)
+        # Peak-to-mean of the ABS fold: the SNR proxy recorded at
+        # detection (shares the zoom-DFT matmul with up_peak via CSE).
+        _, sval, smean = up_peak_stats(win, cfg)
 
         hist = jnp.concatenate([midx[None], s.hist[:-1]])
         hist_len = jnp.minimum(s.hist_len + 1, REQUIRED_PREAMBLE_CHIRPS)
@@ -235,6 +242,7 @@ def _machine(cfg: LoraConfig, max_packets: int):
         nc = jnp.where(det_hit, n - (p * pre_idx) // fac, nc)
         st = jnp.where(det_hit, _SFD, st)
         pkt_start = jnp.where(det_hit, s.ptr, s.pkt_start)
+        snr = jnp.where(det_hit, sval / jnp.maximum(smean, 1e-20), s.snr)
 
         # ---- S_SFD_SYNC (demod_impl.cc:444-504).
         do_sfd = s.st == _SFD
@@ -308,7 +316,7 @@ def _machine(cfg: LoraConfig, max_packets: int):
         do_out = s.st == _OUT
 
         def emit(args):
-            out_syms, out_len, out_pos, out_cnt = args
+            out_syms, out_len, out_pos, out_snr, out_cnt = args
             comp = _dynamic_compensation(syms, sym_cnt, cfg)
             row = jnp.minimum(out_cnt, mp - 1)
             keep = out_cnt < mp
@@ -316,23 +324,25 @@ def _machine(cfg: LoraConfig, max_packets: int):
             out_len = out_len.at[row].set(jnp.where(keep, sym_cnt, out_len[row]))
             out_pos = out_pos.at[row].set(
                 jnp.where(keep, pkt_start + s.base, out_pos[row]))
+            out_snr = out_snr.at[row].set(
+                jnp.where(keep, snr, out_snr[row]))
             # out_cnt counts every completed packet (uncapped) so slot
             # overflow is observable; drivers report min(cnt, mp) live slots
             # and cnt - mp dropped (the reference only printf's, SURVEY §5).
-            return out_syms, out_len, out_pos, out_cnt + 1
+            return out_syms, out_len, out_pos, out_snr, out_cnt + 1
 
-        out_syms, out_len, out_pos, out_cnt = jax.lax.cond(
+        out_syms, out_len, out_pos, out_snr, out_cnt = jax.lax.cond(
             do_out, emit, lambda a: a,
-            (s.out_syms, s.out_len, s.out_pos, s.out_cnt))
+            (s.out_syms, s.out_len, s.out_pos, s.out_snr, s.out_cnt))
         st = jnp.where(do_out, _RESET, st)
 
         return _State(
             ptr=s.ptr + nc, st=st, hist=hist, hist_len=hist_len,
-            sync_cnt=sync_cnt, cfo=cfo, syms=syms, sym_cnt=sym_cnt,
+            sync_cnt=sync_cnt, cfo=cfo, snr=snr, syms=syms, sym_cnt=sym_cnt,
             pkt_sym_len=pkt_sym_len, hdr_received=hdr_received,
             hdr_valid=hdr_valid, pkt_start=pkt_start, base=s.base,
             out_syms=out_syms, out_len=out_len, out_pos=out_pos,
-            out_cnt=out_cnt, it=s.it + 1)
+            out_snr=out_snr, out_cnt=out_cnt, it=s.it + 1)
 
     return body, init_state
 
@@ -345,8 +355,10 @@ def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
 
     Returns fn(iq_ri float32[num_samples_total, 2]) ->
     (packets uint16[max_packets, MS], lengths int32[max_packets],
-     positions int32[max_packets], count int32, dropped int32) where
-    ``dropped`` counts completed packets that found no free output slot.
+     positions int32[max_packets], count int32, dropped int32,
+     snr float32[max_packets]) where ``dropped`` counts completed packets
+    that found no free output slot and ``snr`` is the peak/mean detection
+    ratio (see snr_db_estimate).
     """
     n = cfg.num_samples
     body, init_state = _machine(cfg, max_packets)
@@ -371,7 +383,7 @@ def demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 8):
         mp = final.out_len.shape[0]
         return (final.out_syms, final.out_len, final.out_pos,
                 jnp.minimum(final.out_cnt, mp),
-                jnp.maximum(final.out_cnt - mp, 0))
+                jnp.maximum(final.out_cnt - mp, 0), final.out_snr)
 
     return run
 
@@ -398,8 +410,9 @@ def demod_stream_fn(cfg: LoraConfig, block_len: int, max_packets: int = 8):
 
     Returns (step, init) where
     ``step(carry, block float32[block_len, 2]) -> (carry, outs)`` and outs is
-    (packets, lengths, positions, count, dropped) for packets *completed
-    during this block* (positions are global stream sample indices).
+    (packets, lengths, positions, count, dropped, snr) for packets
+    *completed during this block* (positions are global stream sample
+    indices).
     """
     n = cfg.num_samples
     tail_len = stream_tail_len(cfg)
@@ -422,6 +435,7 @@ def demod_stream_fn(cfg: LoraConfig, block_len: int, max_packets: int = 8):
         s = s._replace(out_syms=jnp.zeros_like(s.out_syms),
                        out_len=jnp.zeros_like(s.out_len),
                        out_pos=jnp.full(mp, -1, jnp.int32),
+                       out_snr=jnp.zeros_like(s.out_snr),
                        out_cnt=jnp.int32(0), it=jnp.int32(0))
 
         def cond(st: _State):
@@ -430,7 +444,7 @@ def demod_stream_fn(cfg: LoraConfig, block_len: int, max_packets: int = 8):
         final = jax.lax.while_loop(cond, partial(body, iq), s)
         outs = (final.out_syms, final.out_len, final.out_pos,
                 jnp.minimum(final.out_cnt, mp),
-                jnp.maximum(final.out_cnt - mp, 0))
+                jnp.maximum(final.out_cnt - mp, 0), final.out_snr)
         # Re-anchor coordinates for the next block: its buffer starts at the
         # current buffer's sample ``block_len``.
         shift = jnp.int32(block_len)
@@ -461,6 +475,9 @@ class StreamingDemodulator:
         #: Completed packets that overflowed the per-block output slots
         #: (raise ``max_packets`` if this ever becomes nonzero).
         self.dropped = 0
+        #: Peak/mean SNR-proxy ratio per returned packet, in feed order
+        #: (convert with snr_db_estimate).
+        self.snr_ratios: list[float] = []
         # Double buffering: jax dispatch is async, so with ``pipelined`` the
         # device computes block i while the host prepares block i+1 — the
         # fetch of block i's packets happens on the NEXT feed call (results
@@ -470,9 +487,10 @@ class StreamingDemodulator:
         self._inflight = None
 
     def _drain_outs(self, outs) -> list[tuple[int, np.ndarray]]:
-        syms, lens, pos, cnt, dropped = (
+        syms, lens, pos, cnt, dropped, snr = (
             np.asarray(x) for x in jax.device_get(outs))
         self.dropped += int(dropped)
+        self.snr_ratios += [float(snr[r]) for r in range(int(cnt))]
         return [(int(pos[r]), syms[r, :lens[r]].copy())
                 for r in range(int(cnt))]
 
@@ -531,7 +549,8 @@ def make_demodulator(cfg: LoraConfig, num_samples_total: int, max_packets: int =
 
     Returns fn(iq_ri float32[num_samples_total, 2]) ->
     (packets uint16[max_packets, MS], lengths int32[max_packets],
-     positions int32[max_packets], count int32, dropped int32).
+     positions int32[max_packets], count int32, dropped int32,
+     snr float32[max_packets]).
     """
     return jax.jit(demod_fn(cfg, num_samples_total, max_packets))
 
@@ -543,5 +562,19 @@ def demodulate(iq, cfg: LoraConfig, max_packets: int = 8):
         iq = to_ri(np.asarray(iq))
     iq = np.asarray(iq, dtype=np.float32)
     fn = make_demodulator(cfg, iq.shape[0], max_packets)
-    out_syms, out_len, _, out_cnt, _ = jax.device_get(fn(iq))
+    out_syms, out_len, _, out_cnt, _, _ = jax.device_get(fn(iq))
     return [out_syms[i, :out_len[i]].copy() for i in range(int(out_cnt))]
+
+
+def snr_db_estimate(ratio, cfg: LoraConfig):
+    """Convert the FSM's peak/mean detection ratio to an in-band SNR
+    estimate in dB.
+
+    For a tone of amplitude A in complex noise of per-component std s at
+    fs = p*bw: peak = N*A, and the mean folded-bin magnitude is
+    2*s*sqrt(N)*sqrt(pi/2) (Rayleigh mean of two folded bands), so
+    in-band SNR = A^2 p / (2 s^2) = (pi p / N) * ratio^2.
+    """
+    n = cfg.num_samples
+    r = np.maximum(np.asarray(ratio, np.float64), 1e-12)
+    return 10.0 * np.log10(np.pi * cfg.p / n * r * r)

@@ -116,6 +116,17 @@ def up_peak(window: jnp.ndarray, cfg: LoraConfig):
     return band_peak(lo, hi, cfg)
 
 
+def up_peak_stats(window: jnp.ndarray, cfg: LoraConfig):
+    """(idx, val, mean) — the folded peak plus the spectrum's mean
+    magnitude, the noise-floor proxy behind per-packet SNR estimates
+    (beyond-reference; the reference reports no signal quality)."""
+    lo, hi = _up_plan(cfg.sf, cfg.p, cfg.fft_factor, cfg.precision)(window)
+    folded = cmag(lo) + cmag(hi)
+    idx = jnp.argmax(folded, axis=-1)
+    val = jnp.take_along_axis(folded, idx[..., None], axis=-1)[..., 0]
+    return idx.astype(jnp.int32), val, jnp.mean(folded, axis=-1)
+
+
 def down_peak(window: jnp.ndarray, cfg: LoraConfig):
     """Window(s) [..., N, 2] -> folded down-chirp (SFD) peak (idx, val)."""
     lo, hi = _down_plan(cfg.sf, cfg.p, cfg.fft_factor, cfg.precision)(window)

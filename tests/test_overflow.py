@@ -32,7 +32,7 @@ def test_demod_reports_slot_overflow():
 
     iq = _stream(4)
     fn = jax.jit(demod_fn(CFG, iq.shape[0], 2))   # 2 slots, 4 packets
-    syms, lens, pos, cnt, dropped = jax.device_get(fn(iq))
+    syms, lens, pos, cnt, dropped, _ = jax.device_get(fn(iq))
     assert int(cnt) == 2
     assert int(dropped) == 2
     # The surviving slots are intact, fully decodable packets.
@@ -46,7 +46,7 @@ def test_demod_no_overflow_when_slots_suffice():
 
     iq = _stream(3)
     fn = jax.jit(demod_fn(CFG, iq.shape[0], 8))
-    _, _, _, cnt, dropped = jax.device_get(fn(iq))
+    _, _, _, cnt, dropped, _ = jax.device_get(fn(iq))
     assert int(cnt) == 3
     assert int(dropped) == 0
 
