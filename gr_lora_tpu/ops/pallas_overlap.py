@@ -82,7 +82,7 @@ def _kernel(g, gnext, rho, out_fa, out_faw, out_hs, *, th, f, k, sigma,
 
 
 @lru_cache(maxsize=None)
-def make_overlap_spectra(cfg: LoraConfig, num_hops: int, tile: int = 64,
+def make_overlap_spectra(cfg: LoraConfig, num_hops: int, tile: int = 0,
                          interpret: bool = False):
     """Jitted iq float32[T, 2] -> (fft_add, fft_add_w, h_single) [H, K];
     numerically the overlap-decomposed front-end with the epilogue fused in
@@ -93,6 +93,10 @@ def make_overlap_spectra(cfg: LoraConfig, num_hops: int, tile: int = 64,
     h = n // _R
     f = cfg.fft_size
     k = cfg.bin_size
+    if tile <= 0:
+        # VMEM budget: ~12 arrays of [tile, F] f32 live at once (two G
+        # views, X/Xw re+im, magnitudes, folds); keep them under ~10 MB.
+        tile = max(8, min(64, ((10 << 20) // (48 * f)) & ~7))
     th = tile
     ntiles = -(-num_hops // th)
     hpad = ntiles * th
