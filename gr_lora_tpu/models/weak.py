@@ -156,9 +156,9 @@ def _dynamic_compensation(symbols, count, cfg: LoraConfig):
 
 
 @lru_cache(maxsize=None)
-def weak_demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 4):
-    """Pure fn(iq_ri [T, 2]) -> (syms uint16[MP, sym_num], lens, count,
-    dropped) — ``dropped`` counts packets that overflowed the slots."""
+def _weak_machine(cfg: LoraConfig, max_packets: int):
+    """The weak FSM transition function, shared by the whole-buffer and
+    streaming drivers.  Returns (body, init_state)."""
     n = cfg.num_samples
     k = cfg.bin_size
     fac = cfg.fft_factor
@@ -166,11 +166,19 @@ def weak_demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 4)
     nsym = cfg.num_symbols
     ms = cfg.weak_sym_num
     mp = max_packets
-    pad_front = 13 * n        # history prefill (WEAK_DEMOD_HISTORY=7 + slack)
-    total = pad_front + num_samples_total + 4 * n
-    max_iters = 4 * (total // n) + 64
     drift_max = cfg.preamble_drift_max
     npre = WEAK_REQUIRED_PREAMBLE_CHIRPS
+
+    def init_state(ptr: int) -> _State:
+        return _State(
+            ptr=jnp.int32(ptr), st=jnp.int32(_RESET),
+            hist=jnp.zeros(npre, jnp.int32), hist_len=jnp.int32(0),
+            sync_cnt=jnp.int32(0), cfo=jnp.float32(0.0),
+            syms=jnp.zeros(ms, jnp.float32), sym_cnt=jnp.int32(0),
+            iter_cnt=jnp.int32(0),
+            out_syms=jnp.zeros((mp, ms), jnp.uint16),
+            out_len=jnp.zeros(mp, jnp.int32), out_cnt=jnp.int32(0),
+            it=jnp.int32(0))
 
     def body(iq, s: _State):
         win2 = jax.lax.dynamic_slice(iq, (s.ptr, 0), (2 * n, 2))
@@ -273,21 +281,27 @@ def weak_demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 4)
                       iter_cnt=iter_cnt, out_syms=out_syms, out_len=out_len,
                       out_cnt=out_cnt, it=s.it + 1)
 
+    return body, init_state
+
+
+@lru_cache(maxsize=None)
+def weak_demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 4):
+    """Pure fn(iq_ri [T, 2]) -> (syms uint16[MP, sym_num], lens, count,
+    dropped) — ``dropped`` counts packets that overflowed the slots."""
+    n = cfg.num_samples
+    mp = max_packets
+    body, init_state = _weak_machine(cfg, max_packets)
+    pad_front = 13 * n        # history prefill (WEAK_DEMOD_HISTORY=7 + slack)
+    total = pad_front + num_samples_total + 4 * n
+    max_iters = 4 * (total // n) + 64
+
     def run(iq_ri):
         iq = jnp.concatenate([
             jnp.zeros((pad_front, 2), jnp.float32),
             iq_ri.astype(jnp.float32),
             jnp.zeros((4 * n, 2), jnp.float32),
         ])
-        init = _State(
-            ptr=jnp.int32(pad_front), st=jnp.int32(_RESET),
-            hist=jnp.zeros(npre, jnp.int32), hist_len=jnp.int32(0),
-            sync_cnt=jnp.int32(0), cfo=jnp.float32(0.0),
-            syms=jnp.zeros(ms, jnp.float32), sym_cnt=jnp.int32(0),
-            iter_cnt=jnp.int32(0),
-            out_syms=jnp.zeros((mp, ms), jnp.uint16),
-            out_len=jnp.zeros(mp, jnp.int32), out_cnt=jnp.int32(0),
-            it=jnp.int32(0))
+        init = init_state(pad_front)
 
         def cond(s: _State):
             return (s.ptr + 2 * n <= iq.shape[0]) & (s.it < max_iters)
@@ -298,6 +312,84 @@ def weak_demod_fn(cfg: LoraConfig, num_samples_total: int, max_packets: int = 4)
                 jnp.maximum(final.out_cnt - mp, 0))
 
     return run
+
+
+@lru_cache(maxsize=None)
+def weak_stream_fn(cfg: LoraConfig, block_len: int, max_packets: int = 4):
+    """Streaming weak demodulator: fixed blocks, carried FSM state — the
+    GR-streaming analog of the reference weak_demod block.
+
+    The carried tail must cover the 25n/4 CFO look-back plus the pair
+    window; the FSM stops 3n before the buffer end because the SFD branch
+    reads one symbol ahead of its 2n pair window (unprocessed samples ride
+    into the next block's tail).
+    """
+    n = cfg.num_samples
+    tail_len = 16 * n
+    if block_len < 4 * n:
+        raise ValueError(f"block_len must be >= 4 symbols ({4 * n})")
+    body, init_state = _weak_machine(cfg, max_packets)
+    buf_len = tail_len + block_len
+    max_iters = 4 * (buf_len // n) + 64
+    mp = max_packets
+
+    def init():
+        return init_state(tail_len), jnp.zeros((tail_len, 2), jnp.float32)
+
+    def step(carry, block):
+        s, tail = carry
+        iq = jnp.concatenate([tail, block.astype(jnp.float32)])
+        s = s._replace(out_syms=jnp.zeros_like(s.out_syms),
+                       out_len=jnp.zeros_like(s.out_len),
+                       out_cnt=jnp.int32(0), it=jnp.int32(0))
+
+        def cond(st: _State):
+            return (st.ptr + 3 * n <= buf_len) & (st.it < max_iters)
+
+        final = jax.lax.while_loop(cond, partial(body, iq), s)
+        outs = (final.out_syms, final.out_len,
+                jnp.minimum(final.out_cnt, mp),
+                jnp.maximum(final.out_cnt - mp, 0))
+        final = final._replace(ptr=final.ptr - jnp.int32(block_len))
+        return (final, iq[-tail_len:]), outs
+
+    return step, init
+
+
+class StreamingWeakDemodulator:
+    """Host-facing stateful wrapper: feed chunks, collect weak packets."""
+
+    def __init__(self, cfg: LoraConfig, block_len: int | None = None,
+                 max_packets: int = 4):
+        self.cfg = cfg
+        self.block_len = block_len or 64 * cfg.num_samples
+        step, init = weak_stream_fn(cfg, self.block_len, max_packets)
+        self._step = jax.jit(step)
+        self._carry = init()
+        self._pending = np.zeros((0, 2), np.float32)
+        self.dropped = 0
+
+    def feed(self, iq) -> list[np.ndarray]:
+        if np.iscomplexobj(iq):
+            iq = to_ri(np.asarray(iq))
+        buf = np.concatenate([self._pending,
+                              np.asarray(iq, np.float32).reshape(-1, 2)])
+        out: list[np.ndarray] = []
+        nfull = buf.shape[0] // self.block_len
+        for b in range(nfull):
+            block = buf[b * self.block_len:(b + 1) * self.block_len]
+            self._carry, outs = self._step(self._carry, block)
+            syms, lens, cnt, dropped = (
+                np.asarray(x) for x in jax.device_get(outs))
+            self.dropped += int(dropped)
+            out += [syms[r, :lens[r]].copy() for r in range(int(cnt))]
+        self._pending = buf[nfull * self.block_len:]
+        return out
+
+    def flush(self) -> list[np.ndarray]:
+        drain = self.block_len + 40 * self.cfg.num_samples
+        pad = (-(self._pending.shape[0] + drain)) % self.block_len
+        return self.feed(np.zeros((drain + pad, 2), np.float32))
 
 
 @lru_cache(maxsize=None)

@@ -142,3 +142,35 @@ def test_weak_chain_to_bytes_noisy():
     res = decode(pkts[0], cfg)
     assert res.ok and res.crc_ok
     assert bytes(res.payload[:len(payload)]) == payload
+
+
+def test_streaming_weak_matches_batch():
+    """Chunked feeding through the carried-state weak FSM == one-shot."""
+    from gr_lora_tpu.models.weak import StreamingWeakDemodulator
+
+    cfg = _cfg(weak_sym_num=12)
+    rng = np.random.default_rng(3)
+    chunks = []
+    wanted = []
+    for t in range(3):
+        syms = _rng_syms(cfg, cfg.weak_sym_num, seed=40 + t)
+        wanted.append(syms)
+        chunks.append(modulate_weak(syms, cfg))
+        chunks.append(np.zeros(int(rng.integers(1000, 4000)), np.complex64))
+    iq = np.concatenate(chunks).astype(np.complex64)
+    iq += 0.01 * (rng.standard_normal(len(iq))
+                  + 1j * rng.standard_normal(len(iq))).astype(np.complex64)
+
+    batch = weak_demodulate(iq, cfg)
+    sd = StreamingWeakDemodulator(cfg, block_len=20000)
+    got = []
+    step = 13000
+    from gr_lora_tpu.ops.cplx import to_ri
+    ri = to_ri(iq)
+    for i in range(0, len(iq), step):
+        got += sd.feed(ri[i:i + step])
+    got += sd.flush()
+    assert [g.tobytes() for g in got] == [b.tobytes() for b in batch]
+    assert len(got) == 3
+    for g, w in zip(got, wanted):
+        assert np.array_equal(g, w)
