@@ -11,11 +11,12 @@ from .demodulator import (
 from .modulator import modulate, packet_duration
 from .pyramid import PyramidTracker, pyramid_demodulate
 from .transceiver import LoopbackResult, loopback
-from .weak import modulate_weak, weak_demodulate
+from .weak import (StreamingWeakDemodulator, modulate_weak,
+                   weak_demodulate)
 
 __all__ = [
     "Decoder", "StreamingDemodulator", "demod_fn", "demod_stream_fn",
     "demodulate", "make_demodulator", "modulate", "packet_duration",
     "PyramidTracker", "pyramid_demodulate", "LoopbackResult", "loopback",
-    "modulate_weak", "weak_demodulate",
+    "modulate_weak", "weak_demodulate", "StreamingWeakDemodulator",
 ]
