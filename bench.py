@@ -183,14 +183,17 @@ def main():
 
     # Warm up: compile AND force execution.  On the axon tunnel,
     # block_until_ready can return before the work is done; device_get is the
-    # reliable sync.
+    # reliable sync.  Take the best of three rounds — the shared tunnel's
+    # latency varies run to run; the best round reflects the chip.
     jax.device_get(step(iq))
     jax.device_get(step(iq))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(iq)
-    jax.device_get(out)
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = step(iq)
+        jax.device_get(out)
+        dt = min(dt, time.perf_counter() - t0)
 
     samples = num_frames * hop * iters
     sps = samples / dt

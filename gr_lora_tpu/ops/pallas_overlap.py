@@ -95,8 +95,10 @@ def make_overlap_spectra(cfg: LoraConfig, num_hops: int, tile: int = 0,
     k = cfg.bin_size
     if tile <= 0:
         # VMEM budget: ~12 arrays of [tile, F] f32 live at once (two G
-        # views, X/Xw re+im, magnitudes, folds); keep them under ~10 MB.
-        tile = max(8, min(64, ((10 << 20) // (48 * f)) & ~7))
+        # views, X/Xw re+im, magnitudes, folds) AND Mosaic double-buffers
+        # the I/O blocks across grid steps — budget ~5 MB of tiles so the
+        # total stays under the 16 MB scoped-vmem limit.
+        tile = max(8, min(64, ((5 << 20) // (48 * f)) & ~7))
     th = tile
     ntiles = -(-num_hops // th)
     hpad = ntiles * th
