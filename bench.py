@@ -327,8 +327,12 @@ def _write_per_artifact(args, curves):
     os.makedirs("docs", exist_ok=True)
     artifact = {"device": jax.devices()[0].device_kind, "p": args.p,
                 "precision": args.precision, "curves": curves}
-    with open("docs/per_curves.json", "w") as f:
+    # Atomic: this is the long sweep's checkpoint — a kill mid-dump must
+    # not destroy the curves already collected.
+    tmp = "docs/per_curves.json.tmp"
+    with open(tmp, "w") as f:
         json.dump(artifact, f, indent=1)
+    os.replace(tmp, "docs/per_curves.json")
 
 
 def bench_per(args):
@@ -383,9 +387,6 @@ def bench_per(args):
                   f"{pts}", file=sys.stderr)
             _write_per_artifact(args, curves)   # incremental (long TPU run)
     dt = time.perf_counter() - t0
-
-    import jax
-
     dev = jax.devices()[0]
 
     wf8 = curves.get("sf8_plain", {}).get("waterfall_db")

@@ -61,7 +61,7 @@ def right_halo_len(cfg: LoraConfig) -> int:
 
 
 class GatewayPlan(NamedTuple):
-    fn: object            # jitted: iq [C, T, 2] -> (syms, lens, pos, cnt, dropped)
+    fn: object            # jitted: iq [C, T, 2] -> (syms, lens, pos, cnt, dropped, snr)
     mesh: Mesh
     in_sharding: NamedSharding
     block_len: int        # samples per time shard (own region)
@@ -167,7 +167,7 @@ def gateway_receive(plan: GatewayPlan, iq: np.ndarray, cfg: LoraConfig,
     syms, lens, pos, cnt, dropped, snr = jax.device_get(plan.fn(iq))
     out = []
     for c in range(iq.shape[0]):
-        live = [(pos[c, r], syms[c, r, :lens[c, r]].copy())
+        live = [(int(pos[c, r]), syms[c, r, :lens[c, r]].copy())
                 for r in range(syms.shape[1]) if pos[c, r] >= 0]
         live.sort(key=lambda t: t[0])
         out.append(live)

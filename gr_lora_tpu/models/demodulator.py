@@ -210,7 +210,7 @@ def _machine(cfg: LoraConfig, max_packets: int):
         midx = midx.astype(jnp.int32)
         # Peak-to-mean of the ABS fold: the SNR proxy recorded at
         # detection (shares the zoom-DFT matmul with up_peak via CSE).
-        _, sval, smean = up_peak_stats(win, cfg)
+        sval, smean = up_peak_stats(win, cfg)
 
         hist = jnp.concatenate([midx[None], s.hist[:-1]])
         hist_len = jnp.minimum(s.hist_len + 1, REQUIRED_PREAMBLE_CHIRPS)
@@ -475,8 +475,10 @@ class StreamingDemodulator:
         #: Completed packets that overflowed the per-block output slots
         #: (raise ``max_packets`` if this ever becomes nonzero).
         self.dropped = 0
-        #: Peak/mean SNR-proxy ratio per returned packet, in feed order
-        #: (convert with snr_db_estimate).
+        #: Peak/mean SNR-proxy ratio for the packets returned by the MOST
+        #: RECENT feed()/flush() call, in order (convert with
+        #: snr_db_estimate); reset at each call so it cannot grow without
+        #: bound on long streams.
         self.snr_ratios: list[float] = []
         # Double buffering: jax dispatch is async, so with ``pipelined`` the
         # device computes block i while the host prepares block i+1 — the
@@ -497,6 +499,7 @@ class StreamingDemodulator:
     def feed(self, iq) -> list[tuple[int, np.ndarray]]:
         """Consume IQ (complex or [T, 2] float32); returns completed packets
         as (global_position, symbols) tuples."""
+        self.snr_ratios = []
         if np.iscomplexobj(iq):
             iq = to_ri(np.asarray(iq))
         buf = np.concatenate([self._pending,
@@ -520,7 +523,7 @@ class StreamingDemodulator:
         drain = self.block_len + 2 * stream_tail_len(self.cfg)
         pad = (-(self._pending.shape[0] + drain)) % self.block_len
         silence = np.zeros((drain + pad, 2), np.float32)
-        out = self.feed(silence)
+        out = self.feed(silence)          # resets snr_ratios for this call
         if self._inflight is not None:
             out += self._drain_outs(self._inflight)
             self._inflight = None

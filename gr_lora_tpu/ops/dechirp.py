@@ -117,14 +117,14 @@ def up_peak(window: jnp.ndarray, cfg: LoraConfig):
 
 
 def up_peak_stats(window: jnp.ndarray, cfg: LoraConfig):
-    """(idx, val, mean) — the folded peak plus the spectrum's mean
-    magnitude, the noise-floor proxy behind per-packet SNR estimates
-    (beyond-reference; the reference reports no signal quality)."""
+    """(peak, mean) of the ABS-folded up-chirp spectrum — the noise-floor
+    proxy behind per-packet SNR estimates (beyond-reference; the reference
+    reports no signal quality).  Always the ABS fold regardless of
+    cfg.peak_search: the estimate is calibrated for it
+    (models.demodulator.snr_db_estimate)."""
     lo, hi = _up_plan(cfg.sf, cfg.p, cfg.fft_factor, cfg.precision)(window)
     folded = cmag(lo) + cmag(hi)
-    idx = jnp.argmax(folded, axis=-1)
-    val = jnp.take_along_axis(folded, idx[..., None], axis=-1)[..., 0]
-    return idx.astype(jnp.int32), val, jnp.mean(folded, axis=-1)
+    return jnp.max(folded, axis=-1), jnp.mean(folded, axis=-1)
 
 
 def down_peak(window: jnp.ndarray, cfg: LoraConfig):

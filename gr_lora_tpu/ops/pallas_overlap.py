@@ -98,7 +98,11 @@ def make_overlap_spectra(cfg: LoraConfig, num_hops: int, tile: int = 0,
         # views, X/Xw re+im, magnitudes, folds) AND Mosaic double-buffers
         # the I/O blocks across grid steps — budget ~5 MB of tiles so the
         # total stays under the 16 MB scoped-vmem limit.
-        tile = max(8, min(64, ((5 << 20) // (48 * f)) & ~7))
+        tile = min(64, ((5 << 20) // (48 * f)) & ~7)
+        if tile < 8:
+            raise ValueError(
+                f"fft_size {f} needs > VMEM per 8-hop tile; use the "
+                f"'fast' or 'xla' backend at this operating point")
     th = tile
     ntiles = -(-num_hops // th)
     hpad = ntiles * th
