@@ -74,6 +74,13 @@ class LoraConfig:
     peak_phase_k: int = 4        # k for PeakSearch.PHASE
     threshold: float = 0.005     # pyramid peak threshold
     weak_sym_num: int = 24       # weak demod: known symbol count per packet
+    # Weak-demod drift compensation policy.  "reference" reproduces
+    # weak_demod_impl.cc:196-217 exactly: the modulus-1 integrator runs even
+    # without LDR, where it random-walks on noisy fractional bins and costs
+    # several dB of packet-perfect sensitivity (docs/BENCH.md PER table).
+    # "ldr-only" (beyond-reference, opt-in) disables it when !ldr — the same
+    # rule the reference's own PLAIN demod applies (demod_impl.cc:280).
+    weak_compensation: str = "reference"
     precision: str = "highest"   # zoom-DFT matmul precision:
                                  #   "highest" (f32, bit-stable peaks),
                                  #   "default" (XLA default),
@@ -90,6 +97,9 @@ class LoraConfig:
             raise ValueError("p and fft_factor must be >= 1")
         if self.precision not in ("highest", "default", "bf16"):
             raise ValueError(f"unknown precision {self.precision!r}")
+        if self.weak_compensation not in ("reference", "ldr-only"):
+            raise ValueError(
+                f"unknown weak_compensation {self.weak_compensation!r}")
 
     # Derived sizes (reference: demod_impl.cc:112-119).
     @property

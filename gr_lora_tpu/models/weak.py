@@ -132,15 +132,21 @@ class _State(NamedTuple):
 
 def _dynamic_compensation(symbols, count, cfg: LoraConfig):
     """Reference weak_demod_impl.cc:196-217: modulus = ldr ? 4 : 1, always
-    applied (unlike the plain demod, which zeroes it when !ldr)."""
+    applied (unlike the plain demod, which zeroes it when !ldr).  With
+    cfg.weak_compensation == "ldr-only" the !ldr integrator is disabled
+    (beyond-reference; see config.py — the modulus-1 integrator random-walks
+    on noisy fractional bins and costs packet-perfect sensitivity)."""
     nsym = float(cfg.num_symbols)
     modulus = 4.0 if cfg.ldr else 1.0
+    disabled = cfg.weak_compensation == "ldr-only" and not cfg.ldr
 
     def step(carry, xs):
         v_last, comp = carry
         v, i = xs
         drift = _fpmod(v - v_last, modulus)
         comp_new = comp - jnp.where(drift < modulus / 2, drift, drift - modulus)
+        if disabled:
+            comp_new = jnp.float32(0.0)
         valid = i < count
         comp2 = jnp.where(valid, comp_new, comp)
         v_last2 = jnp.where(valid, v, v_last)

@@ -35,9 +35,11 @@ def test_snr_estimate_tracks_injected_snr():
         for t in range(4):
             sd = StreamingDemodulator(CFG)
             iq = _packet_at_snr(snr, seed=100 + t)
-            pkts = sd.feed(to_ri(iq)) + sd.flush()
-            assert pkts, snr
+            pkts = sd.feed(to_ri(iq))
             vals += [snr_db_estimate(r, CFG) for r in sd.snr_ratios]
+            pkts += sd.flush()     # snr_ratios is per-call: collect again
+            vals += [snr_db_estimate(r, CFG) for r in sd.snr_ratios]
+            assert pkts, snr
         est[snr] = float(np.mean(vals))
     # Monotone and within a few dB of truth (saturates at high SNR where
     # the "noise floor" becomes the chirp's own spectral leakage).

@@ -174,3 +174,35 @@ def test_streaming_weak_matches_batch():
     assert len(got) == 3
     for g, w in zip(got, wanted):
         assert np.array_equal(g, w)
+
+
+def test_ldr_only_compensation_recovers_packet_per():
+    """The opt-in 'ldr-only' compensation policy (beyond-reference) beats
+    the reference's always-on modulus-1 integrator on packet-perfect
+    decode at non-LDR SFs, and is identical on clean input."""
+    from gr_lora_tpu.core.codec import decode, encode
+
+    base = _cfg(cr=1, payload_len=6)
+    tx = encode(bytes(range(1, 7)), base.replace(
+        weak_sym_num=base.packet_symbol_len()))
+
+    def per(cfg, snr_db, trials=12):
+        cfg = cfg.replace(weak_sym_num=base.packet_symbol_len())
+        iq0 = modulate_weak(tx, cfg)
+        fails = 0
+        for t in range(trials):
+            iq = _noisy(iq0, snr_db, 700 + t)
+            ok = False
+            for s in weak_demodulate(iq, cfg):
+                r = decode(s, cfg)
+                if r.ok and r.crc_ok:
+                    ok = True
+            fails += not ok
+        return fails / trials
+
+    ref = per(base, -11.0)
+    fixed = per(base.replace(weak_compensation="ldr-only"), -11.0)
+    assert fixed <= ref, (fixed, ref)
+    # Clean input: both byte-perfect.
+    assert per(base.replace(weak_compensation="ldr-only"), 10.0,
+               trials=2) == 0.0
