@@ -422,7 +422,9 @@ def bench_pyramid_gateway(args):
                      fft_factor=8, threshold=5.0, precision=args.precision)
     n = cfg.num_samples
     channels = args.channels
-    block_hops = 256 if args.quick else 2048
+    # Scale the block with channel count: the lattice materializes
+    # [C, hops, ...] intermediates (~4 GB at 64ch x 2048 hops x ff=8).
+    block_hops = 256 if args.quick else max(512, 2048 * 16 // channels)
     iters = args.iters or (2 if args.quick else 8)
     hop = n // 8
     block = block_hops * hop + (n - hop)
