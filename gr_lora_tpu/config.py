@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from functools import cached_property
 
 
 class PeakSearch(enum.IntEnum):

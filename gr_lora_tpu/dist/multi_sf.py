@@ -19,7 +19,6 @@ import numpy as np
 from ..config import LoraConfig
 from ..core.codec import DecodeResult, decode
 from ..models.demodulator import demod_fn
-from ..ops.cplx import to_ri
 
 
 @dataclass

@@ -46,10 +46,6 @@ def kaiser_window(num_samples: int, beta: float) -> np.ndarray:
     return np.kaiser(num_samples, beta).astype(np.float32)
 
 
-def _plan_key(cfg: LoraConfig) -> tuple:
-    return (cfg.sf, cfg.p, cfg.fft_factor, cfg.beta)
-
-
 @lru_cache(maxsize=None)
 def _up_plan(sf: int, p: int, fft_factor: int,
              precision: str = "highest") -> ZoomDftPlan:

@@ -24,7 +24,6 @@ Both paths operate on float32 (re, im) pairs; see ops/cplx.py.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

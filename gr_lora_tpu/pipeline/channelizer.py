@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import LoraConfig
 from ..ops.cplx import cmatmul_packed, pack_cmatmul_weights
 
 @lru_cache(maxsize=None)
