@@ -116,3 +116,46 @@ def test_pyramid_ldr_sf11():
     good = [r for r in results if r.ok and r.crc_ok]
     assert good, [(r.ok, r.reason) for r in results]
     assert bytes(good[0].payload[:4]) == bytes([3, 1, 4, 1])
+
+
+def test_pyramid_sf6():
+    """SF6 (the smallest supported SF; implicit header only) through the
+    pyramid lattice + tracker.
+
+    Payload chosen without adjacent-equal TX symbols: a reference-inherent
+    pyramid limitation (pyramid_demod_impl.cc:382-387) classifies the
+    merged track of two consecutive identical symbols as BROKEN (length >
+    2*overlaps) and drops both — small-alphabet SFs hit it often."""
+    cfg = LoraConfig(sf=6, cr=1, crc=True, ldr=False, explicit_header=False,
+                     payload_len=4, p=2, fft_factor=2, threshold=5.0)
+    n = cfg.num_samples
+    tx = encode(bytes([18, 52, 86, 120]), cfg)
+    pkt = 0.2 * modulate(tx, cfg, pad_front=0, pad_back=0)
+    total = 1000 + len(pkt) + 40 * n
+    iq = np.zeros(total, np.complex64)
+    iq[1000:1000 + len(pkt)] += pkt.astype(np.complex64)
+    results = [decode(s, cfg) for s in pyramid_demodulate(iq, cfg)]
+    good = [r for r in results if r.ok and r.crc_ok]
+    assert good, [(r.ok, r.reason) for r in results]
+    assert bytes(good[0].payload[:4]) == bytes([18, 52, 86, 120])
+
+
+def test_pyramid_sf12_uses_overlap_fallback():
+    """SF12 at the collision zoom exceeds the direct matmul cap; the
+    lattice must fall back to the overlap-decomposed path transparently
+    and still decode."""
+    from gr_lora_tpu.ops.dft import _DIRECT_MAX_ELEMS
+
+    cfg = LoraConfig(sf=12, cr=1, crc=True, ldr=True, explicit_header=False,
+                     payload_len=2, p=2, fft_factor=4, threshold=5.0)
+    assert cfg.num_samples * 4 * cfg.bin_size > _DIRECT_MAX_ELEMS
+    n = cfg.num_samples
+    tx = encode(bytes([0xCA, 0xFE]), cfg)
+    pkt = 0.2 * modulate(tx, cfg, pad_front=0, pad_back=0)
+    total = 1000 + len(pkt) + 40 * n
+    iq = np.zeros(total, np.complex64)
+    iq[1000:1000 + len(pkt)] += pkt.astype(np.complex64)
+    results = [decode(s, cfg) for s in pyramid_demodulate(iq, cfg)]
+    good = [r for r in results if r.ok and r.crc_ok]
+    assert good, [(r.ok, r.reason) for r in results]
+    assert bytes(good[0].payload[:2]) == bytes([0xCA, 0xFE])
