@@ -155,18 +155,49 @@ class PyramidGateway:
             cfg, mesh, channels, block_hops // nt, max_peaks, backend)
         self._decode = decode_payloads
 
+        # Multi-host: the lattice spans processes over the mesh; the host
+        # trackers are per-channel sequential state, so each PROCESS owns
+        # the trackers for the channel rows its devices host (feed() then
+        # takes the process-local channel slice and returns that host's
+        # packets).  Requires each mesh ch-row to live on one process —
+        # make_multihost_mesh's layout (dist/multihost.py).
+        self._ch_offset = 0
+        local_channels = channels
+        if mesh is not None and jax.process_count() > 1:
+            nch = mesh.shape.get("ch", 1)
+            cpr = channels // nch
+            me = jax.process_index()
+            rows = []
+            for i in range(nch):
+                procs = {d.process_index for d in mesh.devices[i].ravel()}
+                if len(procs) != 1:
+                    raise ValueError(
+                        "multi-host PyramidGateway needs each mesh ch-row "
+                        "on a single process (see dist/multihost.py)")
+                if procs == {me}:
+                    rows.append(i)
+            if rows != list(range(min(rows), max(rows) + 1)):
+                raise ValueError("process's ch-rows must be contiguous")
+            self._ch_offset = min(rows) * cpr
+            local_channels = len(rows) * cpr
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+            self._tail_sharding = NamedSharding(mesh, _P("ch", None, None))
+        self.local_channels = local_channels
+        self._mesh = mesh
+
         if use_native is None:
             from .. import native as _native
             use_native = _native.available()
         self._native = use_native
         if use_native:
             from .. import native as _native
-            self.trackers = _native.MultiPyramidTracker(cfg, channels,
+            self.trackers = _native.MultiPyramidTracker(cfg, local_channels,
                                                         grace=grace)
         else:
-            self.trackers = _PyTrackerBank(cfg, channels, grace)
+            self.trackers = _PyTrackerBank(cfg, local_channels, grace)
         self._grace = grace
-        self._pending = np.zeros((channels, 0, 2), np.float32)
+        self._pending = np.zeros((local_channels, 0, 2), np.float32)
         # One block in flight: the device computes block i+1's lattice
         # while the host walks block i's peaks (jax dispatch is async; only
         # the peak fetch synchronizes).
@@ -177,12 +208,17 @@ class PyramidGateway:
         return self.block_hops * self._hop
 
     def feed(self, iq) -> list[GatewayPacket]:
+        """Consume IQ and return finished packets.  Single-process: iq is
+        [channels, T, 2].  Multi-host: iq is this PROCESS's channel rows
+        only ([local_channels, T, 2]); returned packets carry global
+        channel indices for the channels this host owns."""
         if np.iscomplexobj(iq):
             iq = to_ri(np.asarray(iq))
         iq = np.asarray(iq, np.float32)
         if iq.ndim == 2:
             iq = iq[None]
-        assert iq.shape[0] == self.channels, (iq.shape, self.channels)
+        assert iq.shape[0] == self.local_channels, \
+            (iq.shape, self.local_channels)
         buf = np.concatenate([self._pending, iq], axis=1)
         need = self._block_len() + self._halo
         out: list[GatewayPacket] = []
@@ -195,21 +231,44 @@ class PyramidGateway:
         self._pending = buf
         return out
 
+    def _multihost(self) -> bool:
+        return self.local_channels != self.channels
+
     def _dispatch(self, block: np.ndarray):
-        if self._plan.in_sharding is not None:
-            # Own regions sharded P('ch','t'); the trailing halo (the next
-            # block's head) rides along t-replicated for the last shard.
-            own = jax.device_put(
-                np.ascontiguousarray(block[:, :self._block_len()]),
-                self._plan.in_sharding)
-            tail = np.ascontiguousarray(block[:, self._block_len():])
+        if self._plan.in_sharding is None:
+            return self._plan.fn(jnp.asarray(block))
+        own_np = np.ascontiguousarray(block[:, :self._block_len()])
+        tail_np = np.ascontiguousarray(block[:, self._block_len():])
+        if self._multihost():
+            own = jax.make_array_from_process_local_data(
+                self._plan.in_sharding, own_np,
+                (self.channels, self._block_len(), 2))
+            tail = jax.make_array_from_process_local_data(
+                self._tail_sharding, tail_np,
+                (self.channels, self._halo, 2))
             return self._plan.fn(own, tail)
-        return self._plan.fn(jnp.asarray(block))
+        own = jax.device_put(own_np, self._plan.in_sharding)
+        return self._plan.fn(own, tail_np)
+
+    def _fetch_local(self, packed):
+        """Device -> host peaks for THIS process's channels ([C_local, H,
+        M, 2] uint32), reading only addressable shards in multi-host."""
+        if not self._multihost():
+            return np.asarray(jax.device_get(packed))
+        h_total = self.block_hops
+        m = packed.shape[2]
+        out = np.zeros((self.local_channels, h_total, m, 2), np.uint32)
+        for s in packed.addressable_shards:
+            ch_sl, t_sl = s.index[0], s.index[1]
+            lo = (ch_sl.start or 0) - self._ch_offset
+            hi = ch_sl.stop - self._ch_offset
+            out[lo:hi, t_sl] = np.asarray(s.data)
+        return out
 
     def _drain_inflight(self) -> list[GatewayPacket]:
         if self._inflight is None:
             return []
-        bins, h, hs, valid = _unpack_peaks(jax.device_get(self._inflight))
+        bins, h, hs, valid = _unpack_peaks(self._fetch_local(self._inflight))
         self._inflight = None
         self.trackers.feed(bins, h, hs, valid)
         return self._collect()
@@ -218,7 +277,7 @@ class PyramidGateway:
         out = []
         for ch, pos, syms in self.trackers.drain():
             res = decode(syms, self.cfg) if self._decode else None
-            out.append(GatewayPacket(ch, syms, res, pos))
+            out.append(GatewayPacket(ch + self._ch_offset, syms, res, pos))
         return out
 
     def flush(self) -> list[GatewayPacket]:
@@ -226,7 +285,8 @@ class PyramidGateway:
         drain_hops = (self.trackers.flush_hops() + self._grace
                       + self.block_hops)
         pad = drain_hops * self._hop + self._halo
-        out = self.feed(np.zeros((self.channels, pad, 2), np.float32))
+        out = self.feed(
+            np.zeros((self.local_channels, pad, 2), np.float32))
         out += self._drain_inflight()
         return out
 

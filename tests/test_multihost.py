@@ -64,3 +64,46 @@ def test_two_process_gateway_with_seam_packet():
         # pos is the preamble-detection index: a few symbols into the
         # packet (4 consecutive argmax windows + prefill).
         assert 0 <= pos - a["offs"][c] <= 8 * 128, (pos, a["offs"][c])
+
+
+_PYR_WORKER = os.path.join(os.path.dirname(__file__),
+                           "multihost_pyramid_worker.py")
+
+
+def test_two_process_pyramid_gateway():
+    """Gateway-scale COLLISION decoding across two processes: the lattice
+    is shard_mapped over the spanning {ch, t} mesh; each host's tracker
+    bank owns its channel row and decodes both README golden PDUs for it."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, _PYR_WORKER, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=280)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        outs.append(json.loads(line))
+
+    pdu1 = "0630f0010203040506050801"
+    pdu2 = "053000" + "07" * 5 + "e76b01"
+    for r in outs:
+        mine = [(c, h) for c, h, _ in r["pdus"]]
+        # Every PDU this host reports is for ITS channel...
+        assert all(c == r["pid"] for c, _ in mine), r
+        # ...and both golden payloads are there exactly once.
+        assert mine.count((r["pid"], pdu1)) == 1, r
+        assert mine.count((r["pid"], pdu2)) == 1, r
+        # Positions near the channel's injected base offset.
+        for c, h, pos in r["pdus"]:
+            assert 0 <= pos - r["base"] <= 40 * 512, r
