@@ -137,7 +137,7 @@ def main():
                     default="default")
     ap.add_argument("--mode",
                     choices=["pyramid", "gateway", "scan", "roofline",
-                             "pyramid_gateway", "per"],
+                             "pyramid_gateway", "per", "collision"],
                     default="pyramid",
                     help="pyramid: dense collision front-end; gateway: "
                          "vmapped demod FSM over many channels; scan: "
@@ -177,6 +177,8 @@ def main():
         return bench_pyramid_gateway(args)
     if args.mode == "per":
         return bench_per(args)
+    if args.mode == "collision":
+        return bench_collision(args)
 
     iq, hop, total = build_inputs(cfg, num_frames)
     step = make_step(cfg, num_frames, hop, args.backend)
@@ -400,6 +402,96 @@ def bench_per(args):
     print(f"# device={dev.device_kind} mode=per trials={trials} "
           f"sfs={sfs} wall={dt:.1f}s -> docs/per_curves.json",
           file=sys.stderr)
+
+
+def bench_collision(args):
+    """Collision-recovery sweep: both-packet byte-exact recovery rate of
+    the Pyramid decoder over a grid of overlap offsets x amplitude ratios,
+    reference-exact trackers vs grace mode — written to
+    docs/collision_recovery.json.  This quantifies the headline feature
+    (the reference README shows ONE curated alignment; this measures the
+    whole envelope)."""
+    import os
+
+    import jax
+
+    from gr_lora_tpu import LoraConfig
+    from gr_lora_tpu.core.codec import decode, encode
+    from gr_lora_tpu.models.modulator import modulate
+    from gr_lora_tpu.models.pyramid import pyramid_demodulate
+
+    cfg = LoraConfig(sf=args.sf, cr=1, crc=True, ldr=False,
+                     explicit_header=True, payload_len=8, p=args.p,
+                     fft_factor=8, threshold=5.0, precision=args.precision)
+    n = cfg.num_samples
+    pay1, pay2 = bytes([1, 2, 3, 4, 5, 6]), bytes([7] * 5)
+    pdu1 = "0630f0010203040506050801"
+    pdu2 = "053000" + "07" * 5 + "e76b01"
+    p1 = modulate(encode(pay1, cfg), cfg, pad_front=0, pad_back=0)
+    p2 = modulate(encode(pay2, cfg), cfg, pad_front=0, pad_back=0)
+
+    # Offsets span one symbol of sub-symbol phase at a deep overlap (with a
+    # +13-sample fractional part: real collisions have generic timing —
+    # EXACT hop alignment, where both packets' peaks share windows, is the
+    # measure-zero degenerate case and is probed separately), plus coarse
+    # overlap depths; ratios span strong/weak balance.
+    noffs = 8 if args.quick else 16
+    phases = [16 * n + (i * n) // noffs + 13 for i in range(noffs)]
+    aligned = [16 * n, 16 * n + n // 8]       # degenerate hop-aligned probes
+    depths = [8 * n, 12 * n, 16 * n, 20 * n] if not args.quick else [16 * n]
+    ratios = [0.45, 0.3, 0.2] if not args.quick else [0.45]
+    grid = {}
+    t0 = time.perf_counter()
+    for grace in (0, 8):
+        results = {}
+        for ratio in ratios:
+            for depth_kind, offs in (("phase", [1000 + o for o in phases]),
+                                     ("aligned", [1000 + o for o in aligned]),
+                                     ("depth", [1000 + d + 204
+                                                for d in depths])):
+                both = 0
+                strong = 0
+                for off2 in offs:
+                    total = off2 + len(p2) + 12 * n
+                    iq = np.zeros(total, np.complex64)
+                    iq[1000:1000 + len(p1)] += (0.2 * p1).astype(np.complex64)
+                    iq[off2:off2 + len(p2)] += \
+                        (0.2 * ratio * p2).astype(np.complex64)
+                    pdus = {bytes(r.payload).hex() for r in
+                            (decode(s, cfg) for s in
+                             pyramid_demodulate(iq, cfg, grace=grace))
+                            if r.ok}
+                    strong += pdu1 in pdus
+                    both += (pdu1 in pdus) and (pdu2 in pdus)
+                results[f"{depth_kind}_r{ratio}"] = {
+                    "trials": len(offs), "strong": strong, "both": both}
+        grid[f"grace{grace}"] = results
+    dt = time.perf_counter() - t0
+
+    os.makedirs("docs", exist_ok=True)
+    dev = jax.devices()[0]
+    artifact = {"device": dev.device_kind, "sf": cfg.sf, "p": cfg.p,
+                "fft_factor": cfg.fft_factor, "grid": grid}
+    tmp = "docs/collision_recovery.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(artifact, f, indent=1)
+    os.replace(tmp, "docs/collision_recovery.json")
+
+    g0 = grid["grace0"]
+    tot = sum(v["trials"] for v in g0.values())
+    both0 = sum(v["both"] for v in g0.values())
+    both8 = sum(v["both"] for v in grid["grace8"].values())
+    s0 = sum(v["strong"] for v in g0.values())
+    print(json.dumps({
+        "metric": "collision_both_recovery_rate",
+        "value": round(both0 / tot, 3),
+        "unit": "fraction of offset/ratio grid (reference-exact trackers)",
+        "vs_baseline": round(s0 / tot, 3),   # strong-packet rate
+    }))
+    print(f"# device={dev.device_kind} mode=collision grid={tot} points "
+          f"strong={s0}/{tot} both_grace0={both0}/{tot} "
+          f"both_grace8={both8}/{tot} wall={dt:.1f}s "
+          f"-> docs/collision_recovery.json", file=sys.stderr)
 
 
 def bench_pyramid_gateway(args):
