@@ -451,8 +451,12 @@ def bench_collision(args):
                                                 for d in depths])):
                 both = 0
                 strong = 0
+                # Fixed buffer length across the whole grid: ONE compiled
+                # lattice instead of one per distinct offset.
+                total_fixed = max(phases + aligned + [d + 204 for d in depths]) \
+                    + 1000 + len(p2) + 12 * n
                 for off2 in offs:
-                    total = off2 + len(p2) + 12 * n
+                    total = total_fixed
                     iq = np.zeros(total, np.complex64)
                     iq[1000:1000 + len(p1)] += (0.2 * p1).astype(np.complex64)
                     iq[off2:off2 + len(p2)] += \
@@ -468,14 +472,18 @@ def bench_collision(args):
         grid[f"grace{grace}"] = results
     dt = time.perf_counter() - t0
 
-    os.makedirs("docs", exist_ok=True)
     dev = jax.devices()[0]
     artifact = {"device": dev.device_kind, "sf": cfg.sf, "p": cfg.p,
                 "fft_factor": cfg.fft_factor, "grid": grid}
-    tmp = "docs/collision_recovery.json.tmp"
-    with open(tmp, "w") as f:
-        json.dump(artifact, f, indent=1)
-    os.replace(tmp, "docs/collision_recovery.json")
+    if args.quick:
+        # Smoke runs must not clobber the published full-grid artifact.
+        print("# quick mode: artifact NOT written to docs/", file=sys.stderr)
+    else:
+        os.makedirs("docs", exist_ok=True)
+        tmp = "docs/collision_recovery.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(artifact, f, indent=1)
+        os.replace(tmp, "docs/collision_recovery.json")
 
     g0 = grid["grace0"]
     tot = sum(v["trials"] for v in g0.values())
@@ -488,10 +496,12 @@ def bench_collision(args):
         "unit": "fraction of offset/ratio grid (reference-exact trackers)",
         "vs_baseline": round(s0 / tot, 3),   # strong-packet rate
     }))
+    dest = "(not written: --quick)" if args.quick \
+        else "-> docs/collision_recovery.json"
     print(f"# device={dev.device_kind} mode=collision grid={tot} points "
           f"strong={s0}/{tot} both_grace0={both0}/{tot} "
-          f"both_grace8={both8}/{tot} wall={dt:.1f}s "
-          f"-> docs/collision_recovery.json", file=sys.stderr)
+          f"both_grace8={both8}/{tot} wall={dt:.1f}s {dest}",
+          file=sys.stderr)
 
 
 def bench_pyramid_gateway(args):

@@ -167,22 +167,28 @@ class PyramidGateway:
             nch = mesh.shape.get("ch", 1)
             cpr = channels // nch
             me = jax.process_index()
+            # Axis-order safe: move the named 'ch' axis to the front before
+            # walking rows.
+            ch_axis = mesh.axis_names.index("ch")
+            dev_rows = np.moveaxis(mesh.devices, ch_axis, 0)
             rows = []
             for i in range(nch):
-                procs = {d.process_index for d in mesh.devices[i].ravel()}
+                procs = {d.process_index for d in dev_rows[i].ravel()}
                 if len(procs) != 1:
                     raise ValueError(
                         "multi-host PyramidGateway needs each mesh ch-row "
                         "on a single process (see dist/multihost.py)")
                 if procs == {me}:
                     rows.append(i)
+            if not rows:
+                raise ValueError(
+                    f"process {me} hosts no mesh ch-row; every process in "
+                    "a multi-host PyramidGateway must own >= 1 channel row")
             if rows != list(range(min(rows), max(rows) + 1)):
                 raise ValueError("process's ch-rows must be contiguous")
             self._ch_offset = min(rows) * cpr
             local_channels = len(rows) * cpr
-            from jax.sharding import NamedSharding
-            from jax.sharding import PartitionSpec as _P
-            self._tail_sharding = NamedSharding(mesh, _P("ch", None, None))
+            self._tail_sharding = NamedSharding(mesh, P("ch", None, None))
         self.local_channels = local_channels
         self._mesh = mesh
 
