@@ -106,3 +106,15 @@ def test_plot_per_renders_svg(tmp_path):
     assert svg.startswith("<svg") and svg.endswith("</svg>")
     assert svg.count("SF7") == 1 and svg.count("SF8") == 1
     assert "plain FSM" in svg and "weak demod" in svg
+
+
+def test_plot_collision_renders_svg():
+    from gr_lora_tpu.apps.plot_collision import render
+
+    art = {"device": "cpu", "sf": 8, "p": 2, "fft_factor": 8, "grid": {
+        g: {f"{kind}_r0.45": {"trials": 4, "strong": 4, "both": b}
+            for kind, b in (("phase", 2), ("depth", 1), ("aligned", 0))}
+        for g, b0 in (("grace0", 1), ("grace8", 2))}}
+    svg = render(art)
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert "grace mode" in svg and "reference-exact" in svg
