@@ -287,6 +287,9 @@ class PyramidTracker:
             n = self._lib.lora_pyramid_pop(
                 self._h, buf.ctypes.data_as(_ct.POINTER(_ct.c_uint16)),
                 len(buf))
+            if n == -2:          # packet larger than buffer: grow and retry
+                buf = np.zeros(len(buf) * 2, np.uint16)
+                continue
             if n < 0:
                 break
             out.append(buf[:n].copy())
@@ -357,6 +360,9 @@ class MultiPyramidTracker:
                     self._h, c,
                     buf.ctypes.data_as(_ct.POINTER(_ct.c_uint16)), len(buf),
                     _ct.byref(ts))
+                if n == -2:      # packet larger than buffer: grow and retry
+                    buf = np.zeros(len(buf) * 2, np.uint16)
+                    continue
                 if n < 0:
                     break
                 out.append((c, int(ts.value), buf[:n].copy()))

@@ -46,6 +46,7 @@ class RingIngest:
         self._source = source
         self._read_chunk = read_chunk
         self._eof = threading.Event()
+        self._stop = threading.Event()   # consumer gone: stop producing
         self._err: list[BaseException] = []
         self._thread = threading.Thread(target=self._produce, daemon=True)
         self._started = False
@@ -56,7 +57,7 @@ class RingIngest:
     def _produce(self):
         try:
             residue = b""
-            while True:
+            while not self._stop.is_set():
                 data = self._source.read(self._read_chunk)
                 if not data:
                     break
@@ -68,7 +69,12 @@ class RingIngest:
                 while off < len(view):
                     wrote = self._ring.write(view[off:])
                     if wrote == 0:
-                        time.sleep(1e-4)     # ring full: backpressure
+                        # Ring full: backpressure — unless the consumer is
+                        # gone (close()/consumer exception), in which case
+                        # spinning forever just burns a CPU core.
+                        if self._stop.is_set():
+                            return
+                        time.sleep(1e-4)
                     off += wrote
             self.trailing_bytes = len(residue)
         except BaseException as e:          # surfaced on the consumer side
@@ -83,6 +89,10 @@ class RingIngest:
             self._started = True
         return self
 
+    def close(self) -> None:
+        """Release the producer thread (it exits its backpressure loop)."""
+        self._stop.set()
+
     def blocks(self) -> Iterator[np.ndarray]:
         """Yield float32 [block_samples, 2] blocks until EOF; the final
         partial block (if any) is yielded zero-padded to full size with its
@@ -91,21 +101,29 @@ class RingIngest:
         want = self.block_samples * ITEM
         backoff = 1e-5
         self.last_block_samples = self.block_samples
-        while True:
-            if self._ring.readable >= want:
-                raw = self._ring.read(want)
-                backoff = 1e-5
-                yield raw.view(np.float32).reshape(-1, 2)
-                continue
-            if self._eof.is_set():
-                # EOF can land between the readable check and here with up
-                # to capacity_blocks of data still in the ring: drain every
-                # remaining FULL block before the partial-tail epilogue.
-                while self._ring.readable >= want:
-                    yield self._ring.read(want).view(np.float32).reshape(-1, 2)
-                break
-            time.sleep(backoff)
-            backoff = min(backoff * 2, 1e-3)
+        try:
+            while True:
+                if self._ring.readable >= want:
+                    raw = self._ring.read(want)
+                    backoff = 1e-5
+                    yield raw.view(np.float32).reshape(-1, 2)
+                    continue
+                if self._eof.is_set():
+                    # EOF can land between the readable check and here with
+                    # up to capacity_blocks of data still in the ring: drain
+                    # every remaining FULL block before the partial-tail
+                    # epilogue.
+                    while self._ring.readable >= want:
+                        yield self._ring.read(want) \
+                            .view(np.float32).reshape(-1, 2)
+                    break
+                time.sleep(backoff)
+                backoff = min(backoff * 2, 1e-3)
+        except BaseException:
+            # Consumer died (or closed the generator): unblock the producer
+            # so it doesn't spin on a full ring forever.
+            self.close()
+            raise
         if self._err:
             raise self._err[0]
         left = self._ring.readable - (self._ring.readable % ITEM)

@@ -9,10 +9,12 @@
 #include "lora_host.h"
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstring>
 #include <deque>
 #include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -394,40 +396,76 @@ lora_pyramid_multi* lora_pyramid_multi_create(int32_t channels, int32_t sf,
 
 void lora_pyramid_multi_destroy(lora_pyramid_multi* m) { delete m; }
 
+namespace {
+
+// One channel's tracker walk over a whole block of hops.
+void feed_channel(lora_pyramid& bank, const int32_t* bins, const float* h,
+                  const float* h_single, const uint8_t* valid, size_t c,
+                  int hops, int max_peaks) {
+  std::vector<int> idx;
+  std::vector<int32_t> sb(max_peaks);
+  std::vector<float> sh(max_peaks), ss(max_peaks);
+  for (int t = 0; t < hops; t++) {
+    const size_t base = (c * hops + t) * max_peaks;
+    idx.clear();
+    for (int i = 0; i < max_peaks; i++)
+      if (valid[base + i]) idx.push_back(i);
+    if (idx.empty()) {
+      bank.step(nullptr, nullptr, nullptr, 0);
+      continue;
+    }
+    std::sort(idx.begin(), idx.end(), [&](int a, int b) {
+      return bins[base + a] < bins[base + b];
+    });
+    const int np = (int)idx.size();
+    for (int i = 0; i < np; i++) {
+      sb[i] = bins[base + idx[i]];
+      sh[i] = h[base + idx[i]];
+      ss[i] = h_single[base + idx[i]];
+    }
+    bank.step(sb.data(), sh.data(), ss.data(), np);
+  }
+}
+
+}  // namespace
+
 // bins/h/h_single: [C, H, M] row-major; valid: uint8 [C, H, M].
 // Advances every channel's tracker by H hops.  Valid peaks are re-sorted
 // ascending by bin per hop (the reference scans bins in ascending order,
 // pyramid_demod_impl.cc:227; the lattice emits them height-ordered).
+// Channels are embarrassingly parallel (each bank is independent state),
+// so the walk fans out over a work-stealing thread team — tracker wall time
+// scales with channels / cores instead of linearly with channels.
 void lora_pyramid_multi_feed(lora_pyramid_multi* m, const int32_t* bins,
                              const float* h, const float* h_single,
                              const uint8_t* valid, int32_t channels,
                              int32_t hops, int32_t max_peaks) {
-  std::vector<int> idx;
-  std::vector<int32_t> sb(max_peaks);
-  std::vector<float> sh(max_peaks), ss(max_peaks);
-  for (int c = 0; c < channels && c < (int)m->banks.size(); c++) {
-    lora_pyramid& bank = m->banks[c];
-    for (int t = 0; t < hops; t++) {
-      const size_t base = ((size_t)c * hops + t) * max_peaks;
-      idx.clear();
-      for (int i = 0; i < max_peaks; i++)
-        if (valid[base + i]) idx.push_back(i);
-      if (idx.empty()) {
-        bank.step(nullptr, nullptr, nullptr, 0);
-        continue;
-      }
-      std::sort(idx.begin(), idx.end(), [&](int a, int b) {
-        return bins[base + a] < bins[base + b];
-      });
-      const int np = (int)idx.size();
-      for (int i = 0; i < np; i++) {
-        sb[i] = bins[base + idx[i]];
-        sh[i] = h[base + idx[i]];
-        ss[i] = h_single[base + idx[i]];
-      }
-      bank.step(sb.data(), sh.data(), ss.data(), np);
-    }
+  const int nch = std::min<int>(channels, (int)m->banks.size());
+  if (nch <= 0) return;
+  const unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+  const int nthreads = (int)std::min<unsigned>(hw, (unsigned)nch);
+  if (nthreads <= 1) {
+    for (int c = 0; c < nch; c++)
+      feed_channel(m->banks[c], bins, h, h_single, valid, (size_t)c, hops,
+                   max_peaks);
+    return;
   }
+  // Atomic work queue: channel costs vary (idle vs packet-dense), so
+  // dynamic stealing beats static striping.
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const int c = next.fetch_add(1, std::memory_order_relaxed);
+      if (c >= nch) return;
+      feed_channel(m->banks[c], bins, h, h_single, valid, (size_t)c, hops,
+                   max_peaks);
+    }
+  };
+  std::vector<std::thread> team;
+  team.reserve(nthreads - 1);
+  for (int i = 0; i < nthreads - 1; i++) team.emplace_back(worker);
+  worker();
+  for (auto& t : team) t.join();
 }
 
 int32_t lora_pyramid_multi_pending(const lora_pyramid_multi* m,
