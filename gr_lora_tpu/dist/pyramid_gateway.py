@@ -26,6 +26,7 @@ block ``i``'s peaks, the device is free to compute block ``i+1``'s lattice
 
 from __future__ import annotations
 
+import time
 from typing import NamedTuple
 
 import jax
@@ -126,6 +127,8 @@ class GatewayPacket(NamedTuple):
     #: ~7 symbols after the packet's first sample.  Beyond the reference,
     #: whose pyramid publishes positionless symbol PDUs.
     position: int = -1
+    #: Spreading factor the packet decoded at.
+    sf: int = -1
 
 
 class PyramidGateway:
@@ -208,6 +211,18 @@ class PyramidGateway:
         # while the host walks block i's peaks (jax dispatch is async; only
         # the peak fetch synchronizes).
         self._inflight = None
+        #: Wall-clock split (seconds) so the bottleneck is visible:
+        #: dispatch = host->device copy + async jit launch; fetch = device
+        #: compute wait + device->host peak transfer (they synchronize
+        #: together); tracker = native bank walk; decode = codec.
+        self.wall = {"dispatch": 0.0, "fetch": 0.0, "tracker": 0.0,
+                     "decode": 0.0}
+
+    def wall_reset(self) -> dict:
+        prev = dict(self.wall)
+        for k in self.wall:
+            self.wall[k] = 0.0
+        return prev
 
     # -- streaming ingest -------------------------------------------------
     def _block_len(self) -> int:
@@ -230,7 +245,9 @@ class PyramidGateway:
         out: list[GatewayPacket] = []
         while buf.shape[1] >= need:
             block = np.ascontiguousarray(buf[:, :need])
+            t0 = time.perf_counter()
             outs = self._dispatch(block)
+            self.wall["dispatch"] += time.perf_counter() - t0
             out += self._drain_inflight()   # previous block, overlapped
             self._inflight = outs
             buf = buf[:, self._block_len():]
@@ -274,16 +291,23 @@ class PyramidGateway:
     def _drain_inflight(self) -> list[GatewayPacket]:
         if self._inflight is None:
             return []
+        t0 = time.perf_counter()
         bins, h, hs, valid = _unpack_peaks(self._fetch_local(self._inflight))
+        t1 = time.perf_counter()
+        self.wall["fetch"] += t1 - t0
         self._inflight = None
         self.trackers.feed(bins, h, hs, valid)
+        self.wall["tracker"] += time.perf_counter() - t1
         return self._collect()
 
     def _collect(self) -> list[GatewayPacket]:
         out = []
+        t0 = time.perf_counter()
         for ch, pos, syms in self.trackers.drain():
             res = decode(syms, self.cfg) if self._decode else None
-            out.append(GatewayPacket(ch + self._ch_offset, syms, res, pos))
+            out.append(GatewayPacket(ch + self._ch_offset, syms, res, pos,
+                                     self.cfg.sf))
+        self.wall["decode"] += time.perf_counter() - t0
         return out
 
     def flush(self) -> list[GatewayPacket]:
@@ -298,6 +322,84 @@ class PyramidGateway:
 
     def stats(self) -> dict:
         return self.trackers.stats()
+
+
+class MultiSFPyramidGateway:
+    """Collision decoding across the FULL gateway matrix: every channel x
+    every spreading factor — the BASELINE.md north-star configuration
+    (64 x 125 kHz channels x SF7-12) with the Pyramid collision decoder on
+    each cell, which the reference's README TODO only aspires to
+    (/root/reference/README.md:45).
+
+    LoRa SFs are quasi-orthogonal, so the same channelized stream feeds one
+    ``PyramidGateway`` per SF; each finds only its own packets.  Lattice
+    shapes differ per SF, so the SF axis is a Python loop over compiled
+    programs (all dispatched async before any fetch — devices pipeline the
+    6 lattices back-to-back) while the channel axis stays vmapped/sharded
+    inside each.
+
+    ``block_hops`` is per-SF hop count; hop = p*2^sf/8 samples, so each SF
+    consumes the stream at its own block granularity from its own pending
+    buffer — feed() accepts arbitrary chunk sizes.
+    """
+
+    def __init__(self, base: LoraConfig, channels: int,
+                 sfs=(7, 8, 9, 10, 11, 12), block_hops: int | dict = 1024,
+                 max_peaks: int = 8, grace: int = 0,
+                 mesh: Mesh | None = None, backend: str = "xla",
+                 use_native: bool | None = None,
+                 decode_payloads: bool = True, bw: float = 125e3):
+        self.channels = channels
+        self.gws: dict[int, PyramidGateway] = {}
+        for sf in sfs:
+            ldr = (1 << sf) / bw > 16e-3   # SX127x LDR rule (rx_file.grc)
+            cfg = base.replace(sf=sf, ldr=ldr)
+            bh = block_hops[sf] if isinstance(block_hops, dict) else block_hops
+            self.gws[sf] = PyramidGateway(
+                cfg, channels, block_hops=bh, max_peaks=max_peaks,
+                grace=grace, mesh=mesh, backend=backend,
+                use_native=use_native, decode_payloads=decode_payloads)
+
+    @property
+    def cfgs(self) -> dict[int, LoraConfig]:
+        return {sf: gw.cfg for sf, gw in self.gws.items()}
+
+    def feed(self, iq) -> list[GatewayPacket]:
+        """[channels, T, 2] (or complex [channels, T]) -> finished packets
+        across all SFs, each tagged with its sf."""
+        out: list[GatewayPacket] = []
+        for gw in self.gws.values():
+            out += gw.feed(iq)
+        out.sort(key=lambda p: (p.channel, p.position))
+        return out
+
+    def flush(self) -> list[GatewayPacket]:
+        out: list[GatewayPacket] = []
+        for gw in self.gws.values():
+            out += gw.flush()
+        out.sort(key=lambda p: (p.channel, p.position))
+        return out
+
+    def stats(self) -> dict:
+        agg: dict = {}
+        for gw in self.gws.values():
+            for k, v in gw.stats().items():
+                agg[k] = agg.get(k, 0) + v
+        return agg
+
+    @property
+    def wall(self) -> dict:
+        agg = {"dispatch": 0.0, "fetch": 0.0, "tracker": 0.0, "decode": 0.0}
+        for gw in self.gws.values():
+            for k, v in gw.wall.items():
+                agg[k] += v
+        return agg
+
+    def wall_reset(self) -> dict:
+        agg = self.wall
+        for gw in self.gws.values():
+            gw.wall_reset()
+        return agg
 
 
 class _PyTrackerBank:
