@@ -137,7 +137,8 @@ def main():
                     default="default")
     ap.add_argument("--mode",
                     choices=["pyramid", "gateway", "scan", "roofline",
-                             "pyramid_gateway", "per", "collision"],
+                             "pyramid_gateway", "per", "collision",
+                             "north_star"],
                     default="pyramid",
                     help="pyramid: dense collision front-end; gateway: "
                          "vmapped demod FSM over many channels; scan: "
@@ -145,7 +146,12 @@ def main():
                          "roofline: pyramid front-end FLOP/MFU accounting; "
                          "pyramid_gateway: end-to-end multi-channel "
                          "collision decoding incl. host tracker time; "
-                         "per: PER-vs-SNR curve artifact -> docs/")
+                         "per: PER-vs-SNR curve artifact -> docs/; "
+                         "north_star: 64 channels x SF7-12 detection-gated "
+                         "collision gateway end-to-end with wall split")
+    ap.add_argument("--sfs", type=str, default=None,
+                    help="comma-separated SF list (north_star / "
+                         "pyramid_gateway multi-SF)")
     ap.add_argument("--trials", type=int, default=None,
                     help="per mode: trials per (sf, snr) point")
     ap.add_argument("--channels", type=int, default=16)
@@ -175,6 +181,8 @@ def main():
         return bench_roofline(cfg, args, num_frames)
     if args.mode == "pyramid_gateway":
         return bench_pyramid_gateway(args)
+    if args.mode == "north_star":
+        return bench_north_star(args)
     if args.mode == "per":
         return bench_per(args)
     if args.mode == "collision":
@@ -561,9 +569,24 @@ def bench_pyramid_gateway(args):
             iq[c, off2:off2 + len(p2)] += p2
     ri = to_ri(iq)
 
-    gw = PyramidGateway(cfg, channels, block_hops=block_hops,
-                        max_peaks=8, backend=args.backend)
+    if args.sfs:
+        # Always-on multi-SF matrix (every cell densely, no gating):
+        # per-SF block_hops shrink with SF so the [C, hops, bins]
+        # intermediates stay inside a fixed HBM budget (docs/BENCH.md
+        # memory table).
+        from gr_lora_tpu.dist.pyramid_gateway import MultiSFPyramidGateway
+        sfs = tuple(int(s) for s in args.sfs.split(","))
+        bh = {sf: max(64, block_hops * (1 << args.sf) // (1 << sf))
+              for sf in sfs}
+        gw = MultiSFPyramidGateway(cfg, channels, sfs=sfs, block_hops=bh,
+                                   max_peaks=8, backend=args.backend)
+        mode_tag = f"pyramid_gateway_multisf sfs={sfs}"
+    else:
+        gw = PyramidGateway(cfg, channels, block_hops=block_hops,
+                            max_peaks=8, backend=args.backend)
+        mode_tag = "pyramid_gateway"
     pkts = len(gw.feed(ri))         # warm-up: compile + first tracker walk
+    gw.wall_reset()
     t0 = time.perf_counter()
     for _ in range(iters):
         pkts += len(gw.feed(ri))
@@ -579,12 +602,105 @@ def bench_pyramid_gateway(args):
         "vs_baseline": round(sps / baseline_sps, 2),
     }))
     dev = jax.devices()[0]
-    print(f"# device={dev.device_kind} mode=pyramid_gateway "
+    w = gw.wall
+    other = dt - sum(w.values())
+    print(f"# device={dev.device_kind} mode={mode_tag} "
           f"channels={channels} sf={cfg.sf} p={cfg.p} backend={args.backend} "
           f"precision={cfg.precision} block_hops={block_hops} iters={iters} "
           f"packets={pkts} per_channel_x_realtime="
-          f"{sps / channels / baseline_sps:.1f} wall={dt:.3f}s",
+          f"{sps / channels / baseline_sps:.1f} wall={dt:.3f}s "
+          f"split[dispatch={w['dispatch']:.3f} fetch={w['fetch']:.3f} "
+          f"tracker={w['tracker']:.3f} decode={w['decode']:.3f} "
+          f"host/other={other:.3f}]",
           file=sys.stderr)
+
+
+def bench_north_star(args):
+    """The BASELINE.md north-star configuration end-to-end: 64 x 125 kHz
+    channels x SF7-12 with Pyramid collision decoding, detection-gated
+    (dist/collision_gateway.py).  Every channel carries the README golden
+    two-packet collision plus a single packet at a round-robin SF per air
+    window; wall is split scan / lattice / tracker / decode so the
+    bottleneck is visible.  vs_baseline = x real-time PER CHANNEL (the
+    reference's 250 ksps single-channel real-time claim, README.md:2,45).
+    """
+    import jax
+
+    from gr_lora_tpu import LoraConfig
+    from gr_lora_tpu.core.codec import encode
+    from gr_lora_tpu.dist.collision_gateway import TriggeredPyramidGateway
+    from gr_lora_tpu.models.modulator import modulate
+    from gr_lora_tpu.ops.cplx import to_ri
+
+    sfs = tuple(int(s) for s in (args.sfs or "7,8,9,10,11,12").split(","))
+    channels = args.channels if args.channels != 16 else 64
+    T = 1 << (17 if args.quick else 20)     # air window per iteration
+    iters = args.iters or (1 if args.quick else 4)
+    base = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
+                      payload_len=8, p=args.p, fft_factor=8, threshold=5.0,
+                      precision=args.precision)
+    gw = TriggeredPyramidGateway(base, channels, sfs=sfs,
+                                 max_payload_len=16, backend=args.backend)
+
+    # Fixture: golden SF8 collision on every channel (both PDUs known
+    # byte-exact) + one single packet at a per-channel round-robin SF.
+    cfg8 = gw.sf_states[8].cfg if 8 in gw.sf_states else \
+        gw.sf_states[sfs[0]].cfg
+    n8 = cfg8.num_samples
+    p1 = 0.2 * modulate(encode(bytes([1, 2, 3, 4, 5, 6]), cfg8), cfg8,
+                        pad_front=0, pad_back=0)
+    p2 = 0.09 * modulate(encode(bytes([7] * 5), cfg8), cfg8,
+                         pad_front=0, pad_back=0)
+    singles = {}
+    for sf in sfs:
+        c = gw.sf_states[sf].cfg
+        singles[sf] = 0.15 * modulate(encode(bytes([sf, 1, 2, sf]), c), c,
+                                      pad_front=0, pad_back=0)
+    rng = np.random.default_rng(0)
+    iq = (0.003 * (rng.standard_normal((channels, T))
+                   + 1j * rng.standard_normal((channels, T)))
+          ).astype(np.complex64)
+    off2_rel = 16 * n8 + 4 * n8 // 8 + 204
+    for c in range(channels):
+        base_off = (4000 + c * 4999) % (T // 2)
+        iq[c, base_off:base_off + len(p1)] += p1
+        o2 = base_off + off2_rel
+        iq[c, o2:o2 + len(p2)] += p2
+        s = singles[sfs[c % len(sfs)]]
+        so = (T * 2 // 3 + c * 2999) % (T - len(s) - 1)
+        iq[c, so:so + len(s)] += s
+    ri = to_ri(iq)
+
+    pkts = len(gw.feed(ri))                 # warm-up: compiles scan+lattice
+    gw.wall_reset()
+    d0 = gw.dispatched_samples
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pkts += len(gw.feed(ri))
+    dt = time.perf_counter() - t0
+
+    sps = channels * T * iters / dt
+    per_ch = sps / channels / (2 * 125e3)
+    w = gw.wall
+    s = gw.stats()
+    print(json.dumps({
+        "metric": "north_star_gateway_throughput",
+        "value": round(sps, 1),
+        "unit": "samples/s (64ch x SF7-12, gated collision decoding)",
+        "vs_baseline": round(per_ch, 2),
+    }))
+    dev = jax.devices()[0]
+    other = dt - w["scan"] - w["lattice"] - w["tracker"] - w["decode"]
+    print(f"# device={dev.device_kind} mode=north_star channels={channels} "
+          f"sfs={sfs} p={args.p} backend={args.backend} "
+          f"precision={args.precision} T={T} iters={iters} packets={pkts} "
+          f"per_channel_x_realtime={per_ch:.2f} "
+          f"wall={dt:.3f}s split[scan={w['scan']:.3f} "
+          f"lattice={w['lattice']:.3f} tracker={w['tracker']:.3f} "
+          f"decode={w['decode']:.3f} host/other={other:.3f}] "
+          f"dispatched={(gw.dispatched_samples - d0)} "
+          f"duty={(gw.dispatched_samples - d0) / (channels * T * iters):.3f} "
+          f"dropped_events={s['dropped_events']}", file=sys.stderr)
 
 
 def bench_gateway(cfg, args):

@@ -1,0 +1,341 @@
+"""Detection-gated gateway-scale collision decoding: channels x SF7-12.
+
+The BASELINE.md north-star (64 x 125 kHz channels, every SF, Pyramid
+collision decoding on each cell) cannot be an always-on dense lattice: the
+pyramid front-end at the collision zoom costs ~2048*2^sf matmul FLOPs per
+sample per SF, so 64 channels x SF7-12 always-on needs ~264 TFLOP/s at
+full occupancy — above one chip's peak.  Real LoRa traffic is sparse
+(~1 % duty cycle), so this gateway splits the work TPU-style, the same
+two-pass detect-then-extract design as dist/triggered.py but with the
+Pyramid collision decoder as the extraction stage:
+
+1. **Scan (dense, always-on, cheap)**: per SF, the symbol-strided folded
+   up-chirp preamble scan over all channels (dist/triggered.make_preamble
+   _scan) at a coarse zoom — ~16*2^sf*ff FLOPs/sample/SF, >1 Gsps for the
+   whole SF7-12 bank.
+2. **Dispatch (sparse, expensive, exact)**: a window around each detection
+   — sized to cover every packet that can COLLIDE with the detected one —
+   runs the full two-variant pyramid lattice (models/pyramid), batched
+   over events, into a fresh native tracker bank per batch.  A weak packet
+   whose preamble is masked by a stronger colliding packet never triggers
+   its own event, but it lies inside the stronger packet's window by
+   construction, which is exactly the Pyramid use case
+   (pyramid_demod_impl.cc peak tracking).
+
+Throughput scales with channel-occupancy, not channel-count: idle air
+costs only the scan.  The always-on alternative (every cell, all the
+time) is dist/pyramid_gateway.MultiSFPyramidGateway.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PYRAMID_OVERLAP_FACTOR, REQUIRED_PREAMBLE_CHIRPS, LoraConfig
+from ..core.header import calc_sym_num
+from ..models.modulator import NUM_PREAMBLE_CHIRPS, packet_duration
+from ..models.pyramid import PyramidTracker, peak_lattice_fn
+from ..ops.cplx import to_ri
+from .pyramid_gateway import GatewayPacket
+from .triggered import make_preamble_scan
+
+_SCAN_CHUNK_WINDOWS = 256        # scan compile granularity (symbol windows)
+
+
+@dataclass
+class _SFState:
+    cfg: LoraConfig
+    scan_cfg: LoraConfig
+    win_hops: int                # lattice hops per dispatched window
+    lead: int                    # samples before the trigger in the window
+    suppress: int                # new events this close after a dispatched
+                                 # one are covered by its window already
+    next_scan: int = 0           # abs sample index of next unscanned window
+    dispatched: list = field(default_factory=list)   # (ch, abs pos) triggers
+    pending: list = field(default_factory=list)      # (ch, abs_pos) events
+    recent: dict = field(default_factory=dict)       # decode dedupe
+
+
+class TriggeredPyramidGateway:
+    """Streaming multi-channel multi-SF collision decoder (module doc).
+
+    ``feed(iq)`` consumes ``[channels, T, 2]`` float32 (or complex) in
+    arbitrary chunks and returns finished packets; ``flush()`` drains.
+    ``max_payload_len`` bounds the packet span a window must cover (a
+    production gateway knows its maximum dwell; LoRaWAN caps payloads at
+    51 B for SF12).  ``scan_fft_factor`` is the detection zoom — coarser
+    than the pyramid's fft_factor because the scan only needs a stable
+    argmax, not sub-bin peaks.
+    """
+
+    def __init__(self, base: LoraConfig, channels: int,
+                 sfs=(7, 8, 9, 10, 11, 12), max_payload_len: int = 32,
+                 max_peaks: int = 8, max_events: int = 8,
+                 event_batch: int = 8, snr_gate: float = 3.0,
+                 scan_fft_factor: int = 2, grace: int = 0,
+                 backend: str = "xla", use_native: bool | None = None,
+                 decode_payloads: bool = True, bw: float = 125e3):
+        self.channels = channels
+        self.max_events = max_events
+        self.event_batch = event_batch
+        self.snr_gate = snr_gate
+        self.grace = grace
+        self.backend = backend
+        self.max_peaks = max_peaks
+        self._decode = decode_payloads
+        if use_native is None:
+            from .. import native as _native
+            use_native = _native.available()
+        self._native = use_native
+
+        self.sf_states: dict[int, _SFState] = {}
+        for sf in sfs:
+            ldr = (1 << sf) / bw > 16e-3   # SX127x LDR rule (rx_file.grc)
+            cfg = base.replace(sf=sf, ldr=ldr)
+            n = cfg.num_samples
+            hop = n // PYRAMID_OVERLAP_FACTOR
+            nsyms = calc_sym_num(max_payload_len, sf=cfg.sf, cr=cfg.cr,
+                                 crc=cfg.crc, ldr=cfg.ldr,
+                                 explicit_header=cfg.explicit_header)
+            span = packet_duration(nsyms, cfg)     # preamble + payload
+            # Flush margin: hops to retire every live track and TTL
+            # (PyramidTracker.flush_hops) plus the grace extension.
+            flush = (PyramidTracker(cfg, grace=grace).flush_hops()
+                     + grace) * hop
+            lead = 4 * n
+            # Window covers: lead + the triggering packet + any packet
+            # still colliding with it (starting up to one span later) +
+            # the tracker flush.  Events within `suppress` of a dispatched
+            # trigger are inside its window with >= span+flush remaining.
+            want = lead + 2 * span + flush
+            win_hops = -(-(want - (n - hop)) // hop)    # ceil to hop grid
+            self.sf_states[sf] = _SFState(
+                cfg=cfg,
+                scan_cfg=cfg.replace(fft_factor=scan_fft_factor),
+                win_hops=win_hops, lead=lead, suppress=span)
+
+        self._base = 0                       # abs index of buffer[?, 0]
+        self._buf = np.zeros((channels, 0, 2), np.float32)
+        self._scan_fns: dict = {}
+        self._lattice_fns: dict = {}
+        self.out_pending: list[GatewayPacket] = []
+        #: Wall split: scan = dense detection (device); lattice = window
+        #: dispatch+fetch (device wait + transfer); tracker / decode = host.
+        self.wall = {"scan": 0.0, "lattice": 0.0, "tracker": 0.0,
+                     "decode": 0.0}
+        #: Samples dispatched to the pyramid lattice (occupancy metric;
+        #: includes window overlap) vs samples scanned.
+        self.dispatched_samples = 0
+        self.scanned_samples = 0
+        #: Events dropped because the per-scan top-k slots overflowed.
+        self.dropped_events = 0
+
+    def wall_reset(self) -> dict:
+        prev = dict(self.wall)
+        for k in self.wall:
+            self.wall[k] = 0.0
+        return prev
+
+    # -- plumbing ---------------------------------------------------------
+    def _win_samples(self, st: _SFState) -> int:
+        n = st.cfg.num_samples
+        hop = n // PYRAMID_OVERLAP_FACTOR
+        return st.win_hops * hop + (n - hop)
+
+    def _scan(self, st: _SFState):
+        key = st.cfg.sf
+        if key not in self._scan_fns:
+            self._scan_fns[key] = make_preamble_scan(
+                st.scan_cfg, _SCAN_CHUNK_WINDOWS, self.max_events,
+                self.snr_gate)
+        return self._scan_fns[key]
+
+    def _lattice(self, st: _SFState):
+        key = st.cfg.sf
+        if key not in self._lattice_fns:
+            run = peak_lattice_fn(st.cfg, st.win_hops, self.max_peaks,
+                                  self.backend)
+            self._lattice_fns[key] = jax.jit(jax.vmap(run))
+        return self._lattice_fns[key]
+
+    # -- streaming --------------------------------------------------------
+    def feed(self, iq) -> list[GatewayPacket]:
+        if np.iscomplexobj(iq):
+            iq = to_ri(np.asarray(iq))
+        iq = np.asarray(iq, np.float32)
+        if iq.ndim == 2:
+            iq = iq[None]
+        assert iq.shape[0] == self.channels, (iq.shape, self.channels)
+        self._buf = np.concatenate([self._buf, iq], axis=1)
+        out = self._process(final=False)
+        self._trim()
+        return out
+
+    def flush(self) -> list[GatewayPacket]:
+        """Zero-pad so every pending window and scan chunk completes."""
+        pad = max((self._win_samples(st) + st.lead
+                   + (_SCAN_CHUNK_WINDOWS + 1) * st.cfg.num_samples
+                   for st in self.sf_states.values()), default=0)
+        self._buf = np.concatenate(
+            [self._buf, np.zeros((self.channels, pad, 2), np.float32)],
+            axis=1)
+        out = self._process(final=True)
+        self._trim()
+        return out
+
+    def _process(self, final: bool) -> list[GatewayPacket]:
+        end = self._base + self._buf.shape[1]
+        out: list[GatewayPacket] = list(self.out_pending)
+        self.out_pending = []
+        for sf, st in self.sf_states.items():
+            self._scan_new(st, end)
+            out += self._dispatch_ready(st, end, final)
+        out.sort(key=lambda p: (p.channel, p.position))
+        return out
+
+    def _scan_new(self, st: _SFState, end: int):
+        """Run the preamble scan over every complete chunk of new windows;
+        chunks overlap by the preamble run length so a preamble straddling
+        a chunk boundary is still detected (events dedupe by position)."""
+        n = st.cfg.num_samples
+        chunk = _SCAN_CHUNK_WINDOWS * n
+        overlap_w = REQUIRED_PREAMBLE_CHIRPS + 2
+        while st.next_scan + chunk <= end:
+            lo = st.next_scan - self._base
+            seg = self._buf[:, lo:lo + chunk]
+            t0 = time.perf_counter()
+            starts, valid, nhits = (np.asarray(x) for x in jax.device_get(
+                self._scan(st)(jnp.asarray(seg))))
+            self.wall["scan"] += time.perf_counter() - t0
+            self.scanned_samples += self.channels * chunk
+            self.dropped_events += int(
+                np.sum(np.maximum(nhits - self.max_events, 0)))
+            for ch in range(self.channels):
+                for e in np.sort(starts[ch][valid[ch]]):
+                    pos = st.next_scan + int(e) * n
+                    # Covered by an already-dispatched window on THIS
+                    # channel, or a repeat detection from the chunk overlap?
+                    if any(dc == ch and d - 2 * n <= pos < d + st.suppress
+                           for dc, d in st.dispatched) or \
+                       any(c == ch and p == pos for c, p in st.pending):
+                        continue
+                    st.pending.append((ch, pos))
+            st.next_scan += chunk - overlap_w * n
+            # Drop dispatch history that can no longer suppress anything.
+            st.dispatched = [(dc, d) for dc, d in st.dispatched
+                             if d + st.suppress > st.next_scan - chunk]
+
+    def _dispatch_ready(self, st: _SFState, end: int,
+                        final: bool) -> list[GatewayPacket]:
+        win = self._win_samples(st)
+        ready = [(ch, pos) for ch, pos in st.pending
+                 if pos - st.lead + win <= end]
+        if not ready:
+            return []
+        st.pending = [e for e in st.pending if e not in ready]
+        out: list[GatewayPacket] = []
+        for i in range(0, len(ready), self.event_batch):
+            out += self._run_batch(st, ready[i:i + self.event_batch], win)
+        return out
+
+    def _run_batch(self, st: _SFState, events, win) -> list[GatewayPacket]:
+        eb = self.event_batch
+        n = st.cfg.num_samples
+        hop = n // PYRAMID_OVERLAP_FACTOR
+        slices = np.zeros((eb, win, 2), np.float32)
+        for i, (ch, pos) in enumerate(events):
+            lo = pos - st.lead - self._base
+            seg = self._buf[ch, max(lo, 0):lo + win]
+            slices[i, max(-lo, 0):max(-lo, 0) + seg.shape[0]] = seg
+            st.dispatched.append((ch, pos))
+        self.dispatched_samples += len(events) * win
+
+        t0 = time.perf_counter()
+        bins, h, hs, valid = (np.asarray(x) for x in jax.device_get(
+            self._lattice(st)(jnp.asarray(slices))))
+        t1 = time.perf_counter()
+        self.wall["lattice"] += t1 - t0
+
+        # Fresh tracker bank per batch (windows are self-contained); the
+        # flush is host-only empty hops — no device work.
+        flush_hops = (PyramidTracker(st.cfg, grace=self.grace).flush_hops()
+                      + self.grace)
+        if self._native:
+            from .. import native as _native
+            bank = _native.MultiPyramidTracker(st.cfg, eb, grace=self.grace)
+            bank.feed(bins, h, hs, valid)
+            z = np.zeros((eb, flush_hops, self.max_peaks), np.float32)
+            bank.feed(z.astype(np.int32), z, z, z.astype(bool))
+            results = bank.drain()
+        else:
+            results = []
+            for i in range(eb):
+                tr = PyramidTracker(st.cfg, grace=self.grace)
+                for t in range(st.win_hops):
+                    v = valid[i, t]
+                    if v.any():
+                        order = np.argsort(bins[i, t][v], kind="stable")
+                        tr.step(bins[i, t][v][order], h[i, t][v][order],
+                                hs[i, t][v][order])
+                    else:
+                        tr.step()
+                for _ in range(flush_hops):
+                    tr.step()
+                results += [(i, p, s) for p, s in
+                            zip(tr.positions_out, tr.symbols_out)]
+        t2 = time.perf_counter()
+        self.wall["tracker"] += t2 - t1
+
+        out: list[GatewayPacket] = []
+        for i, ts, syms in results:
+            if i >= len(events):
+                continue
+            ch, pos = events[i]
+            abs_pos = pos - st.lead + int(ts)
+            # Cross-window dedupe: the same packet decodes in every window
+            # that covers it; positions agree to within a couple symbols.
+            key = (ch, syms.tobytes())
+            last = st.recent.get(key)
+            if last is not None and abs(abs_pos - last) < 4 * n:
+                continue
+            st.recent[key] = abs_pos
+            res = None
+            if self._decode:
+                from ..core.codec import decode
+                res = decode(syms, st.cfg)
+            out.append(GatewayPacket(ch, syms, res, abs_pos, st.cfg.sf))
+        self.wall["decode"] += time.perf_counter() - t2
+        if len(st.recent) > 4096:      # bound the dedupe memory
+            cutoff = self._base
+            st.recent = {k: v for k, v in st.recent.items() if v >= cutoff}
+        return out
+
+    def _trim(self):
+        """Discard buffer samples nothing can reference any more."""
+        keep_from = self._base + self._buf.shape[1]
+        for st in self.sf_states.values():
+            lo_scan = st.next_scan
+            lo_pend = min((pos - st.lead for _, pos in st.pending),
+                          default=keep_from)
+            keep_from = min(keep_from, lo_scan, lo_pend)
+        cut = keep_from - self._base
+        if cut > 0:
+            self._buf = self._buf[:, cut:]
+            self._base += cut
+
+    def stats(self) -> dict:
+        return {
+            "dispatched_samples": self.dispatched_samples,
+            "scanned_samples": self.scanned_samples,
+            "duty_cycle": (self.dispatched_samples
+                           / max(self.scanned_samples // len(self.sf_states),
+                                 1)),
+            "dropped_events": self.dropped_events,
+            "pending_events": sum(len(st.pending)
+                                  for st in self.sf_states.values()),
+        }
