@@ -441,6 +441,7 @@ def bench_collision(args):
     from gr_lora_tpu.core.codec import decode, encode
     from gr_lora_tpu.models.modulator import modulate
     from gr_lora_tpu.models.pyramid import pyramid_demodulate
+    from gr_lora_tpu.models.sic import sic_demodulate
 
     cfg = LoraConfig(sf=args.sf, cr=1, crc=True, ldr=False,
                      explicit_header=True, payload_len=8, p=args.p,
@@ -464,7 +465,15 @@ def bench_collision(args):
     ratios = [0.45, 0.3, 0.2] if not args.quick else [0.45]
     grid = {}
     t0 = time.perf_counter()
-    for grace in (0, 8):
+    # Three decoder tiers over the SAME grid: reference-exact trackers
+    # (grace 0), grace mode, and SIC (models/sic — subtract-and-re-read;
+    # beyond-reference, VERDICT r2 item 5).
+    for label, run in (
+        ("grace0", lambda iq: pyramid_demodulate(iq, cfg, grace=0)),
+        ("grace8", lambda iq: pyramid_demodulate(iq, cfg, grace=8)),
+        ("sic", lambda iq: [q.symbols for q in
+                            sic_demodulate(iq, cfg, grace=8)]),
+    ):
         results = {}
         for ratio in ratios:
             for depth_kind, offs in (("phase", [1000 + o for o in phases]),
@@ -484,14 +493,13 @@ def bench_collision(args):
                     iq[off2:off2 + len(p2)] += \
                         (0.2 * ratio * p2).astype(np.complex64)
                     pdus = {bytes(r.payload).hex() for r in
-                            (decode(s, cfg) for s in
-                             pyramid_demodulate(iq, cfg, grace=grace))
+                            (decode(s, cfg) for s in run(iq))
                             if r.ok}
                     strong += pdu1 in pdus
                     both += (pdu1 in pdus) and (pdu2 in pdus)
                 results[f"{depth_kind}_r{ratio}"] = {
                     "trials": len(offs), "strong": strong, "both": both}
-        grid[f"grace{grace}"] = results
+        grid[label] = results
     dt = time.perf_counter() - t0
 
     dev = jax.devices()[0]
@@ -511,18 +519,21 @@ def bench_collision(args):
     tot = sum(v["trials"] for v in g0.values())
     both0 = sum(v["both"] for v in g0.values())
     both8 = sum(v["both"] for v in grid["grace8"].values())
+    boths = sum(v["both"] for v in grid["sic"].values())
     s0 = sum(v["strong"] for v in g0.values())
+    ss = sum(v["strong"] for v in grid["sic"].values())
     print(json.dumps({
-        "metric": "collision_both_recovery_rate",
-        "value": round(both0 / tot, 3),
-        "unit": "fraction of offset/ratio grid (reference-exact trackers)",
-        "vs_baseline": round(s0 / tot, 3),   # strong-packet rate
+        "metric": "collision_both_recovery_rate_sic",
+        "value": round(boths / tot, 3),
+        "unit": "fraction of offset/ratio grid (SIC decoder)",
+        "vs_baseline": round(both0 / tot, 3),   # reference-exact tier
     }))
     dest = "(not written: --quick)" if args.quick \
         else "-> docs/collision_recovery.json"
     print(f"# device={dev.device_kind} mode=collision grid={tot} points "
-          f"strong={s0}/{tot} both_grace0={both0}/{tot} "
-          f"both_grace8={both8}/{tot} wall={dt:.1f}s {dest}",
+          f"strong_grace0={s0}/{tot} strong_sic={ss}/{tot} "
+          f"both_grace0={both0}/{tot} both_grace8={both8}/{tot} "
+          f"both_sic={boths}/{tot} wall={dt:.1f}s {dest}",
           file=sys.stderr)
 
 

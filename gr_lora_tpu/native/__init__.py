@@ -295,6 +295,25 @@ class PyramidTracker:
             out.append(buf[:n].copy())
         return out
 
+    def drain_ts(self) -> list[tuple[int, np.ndarray]]:
+        """As drain(), but yields (preamble timestamp, symbols) pairs
+        (lora_pyramid_pop_ts; ts is mod 2^28 like the tracker clock)."""
+        import ctypes as _ct
+        out = []
+        buf = np.zeros(4096, np.uint16)
+        ts = _ct.c_int64(0)
+        while self._lib.lora_pyramid_pending(self._h) > 0:
+            n = self._lib.lora_pyramid_pop_ts(
+                self._h, buf.ctypes.data_as(_ct.POINTER(_ct.c_uint16)),
+                len(buf), _ct.byref(ts))
+            if n == -2:          # packet larger than buffer: grow and retry
+                buf = np.zeros(len(buf) * 2, np.uint16)
+                continue
+            if n < 0:
+                break
+            out.append((int(ts.value), buf[:n].copy()))
+        return out
+
     def stats(self) -> dict:
         import ctypes as _ct
         s = np.zeros(3, np.int64)
