@@ -155,11 +155,25 @@ class TriggeredPyramidGateway:
                 self.snr_gate)
         return self._scan_fns[key]
 
+    #: HBM budget for one dispatched lattice batch.  The dense per-hop
+    #: spectra dominate peak memory at roughly _LATTICE_TEMPS live
+    #: f32[block, bins] temporaries per vmap lane (measured from XLA
+    #: allocation dumps at SF12 x ff=8: ~20 fusion temps + remat copies),
+    #: so the hop-block size is solved from this budget; one v5e chip has
+    #: 15.75 GB and the scan + host buffers need headroom.
+    _LATTICE_BUDGET_BYTES = 4 << 30
+    _LATTICE_TEMPS = 32
+
     def _lattice(self, st: _SFState):
         key = st.cfg.sf
         if key not in self._lattice_fns:
+            per_hop = (self.event_batch * st.cfg.bin_size * 4
+                       * self._LATTICE_TEMPS)
+            blk = max(int(self._LATTICE_BUDGET_BYTES // per_hop), 32)
             run = peak_lattice_fn(st.cfg, st.win_hops, self.max_peaks,
-                                  self.backend)
+                                  self.backend,
+                                  block_hops=blk if blk < st.win_hops
+                                  else None)
             self._lattice_fns[key] = jax.jit(jax.vmap(run))
         return self._lattice_fns[key]
 

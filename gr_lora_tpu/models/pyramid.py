@@ -54,7 +54,7 @@ def _pmod(x: int, n: int) -> int:
 
 @lru_cache(maxsize=None)
 def peak_lattice_fn(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
-                    backend: str = "xla"):
+                    backend: str = "xla", block_hops: int | None = None):
     """Unjitted pure fn — composable inside vmap/shard_map
     (dist/pyramid_gateway.py); see make_peak_lattice for the jitted wrapper.
 
@@ -65,10 +65,41 @@ def peak_lattice_fn(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
     Kaiser-windowed folded spectrum above cfg.threshold
     (pyramid_demod_impl.cc:229-235); h is the unwindowed folded height and
     h_single the max of the two unfolded edge bands (:269).
+
+    ``block_hops`` bounds live HBM: the dense [H, bins] spectra are the
+    peak memory, so for long windows (large SF x fft_factor, e.g. the
+    north-star gateway's SF12 dispatch windows) the lattice is evaluated
+    as a sequential ``lax.map`` over hop blocks — only one block's
+    spectra (x any vmap batch) is ever resident.  Each hop's window is
+    self-contained (blocks overlap by the symbol-minus-hop halo), so the
+    peak decisions match the unblocked plan; heights agree to float
+    rounding only (a [B, n] matmul tiles its contraction differently
+    from the full [H, n] one, reordering the f32 accumulation).
     """
     n = cfg.num_samples
     hop = n // PYRAMID_OVERLAP_FACTOR
     r = n // hop
+
+    if block_hops is not None and num_hops > block_hops:
+        inner = peak_lattice_fn(cfg, block_hops, max_peaks, backend)
+        nb = -(-num_hops // block_hops)
+        need = nb * block_hops * hop + (n - hop)
+
+        def run_blocked(iq):
+            pad = need - iq.shape[0]
+            iqp = jnp.pad(iq, ((0, max(pad, 0)), (0, 0))) if pad > 0 else iq
+
+            def body(b):
+                seg = jax.lax.dynamic_slice_in_dim(
+                    iqp, b * (block_hops * hop), block_hops * hop + n - hop)
+                return inner(seg)
+
+            outs = jax.lax.map(body, jnp.arange(nb))
+            return tuple(
+                o.reshape((nb * block_hops,) + o.shape[2:])[:num_hops]
+                for o in outs)
+
+        return run_blocked
 
     if backend == "xla":
         # The direct two-variant plan only exists below the matmul size

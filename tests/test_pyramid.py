@@ -204,3 +204,42 @@ def test_apex_linear_regression_variant():
     got = tr.symbols_out[0][: len(syms_tx)]
     acc = np.mean(np.asarray(got) == np.asarray(syms_tx))
     assert acc >= 0.6, (acc, list(got))
+
+
+def test_hop_blocked_lattice_matches_unblocked():
+    """block_hops evaluates the same lattice as one lax.map over hop
+    blocks (the HBM-bounded plan used by the north-star gateway for big
+    SF x fft_factor windows).  Peak decisions must match the unblocked
+    plan exactly; heights only to float rounding (different matmul
+    contraction tiling), so the decoded collision PDUs are the real
+    equivalence check."""
+    import jax
+
+    from gr_lora_tpu.models import pyramid as P
+
+    iq = to_ri(_collision(1000 + 16 * _N + 4 * _N // 8 + 204))
+    nh = P.num_hops_for(CFG, iq.shape[0])
+    full = jax.jit(P.peak_lattice_fn(CFG, nh, 16))
+    blocked = jax.jit(P.peak_lattice_fn(CFG, nh, 16, block_hops=64))
+    fb, fh, fhs, fv = (np.asarray(x) for x in jax.device_get(full(iq)))
+    bb, bh, bhs, bv = (np.asarray(x) for x in jax.device_get(blocked(iq)))
+    assert np.array_equal(fv, bv)
+    assert np.array_equal(fb[fv], bb[bv])
+    np.testing.assert_allclose(fh[fv], bh[bv], rtol=1e-5)
+    np.testing.assert_allclose(fhs[fv], bhs[bv], rtol=1e-5)
+
+    # Odd num_hops not divisible by block_hops: tail block is zero-padded
+    # and trimmed — same decode through the tracker.
+    tr = P.PyramidTracker(CFG)
+    for t in range(nh):
+        v = bv[t]
+        if v.any():
+            order = np.argsort(bb[t][v], kind="stable")
+            tr.step(bb[t][v][order], bh[t][v][order], bhs[t][v][order])
+        else:
+            tr.step()
+    for _ in range(tr.flush_hops()):
+        tr.step()
+    got = {bytes(r.payload).hex()
+           for r in (decode(s, CFG) for s in tr.symbols_out) if r.ok}
+    assert got == {PDU_1, PDU_2}
