@@ -1,0 +1,250 @@
+"""On-device tracker (models/device_tracker) vs host tracker equivalence.
+
+The host PyramidTracker is the behavior spec (itself validated against the
+reference pyramid_demod_impl.cc:225-767 golden PDUs, test_pyramid.py); the
+device tracker must reproduce its packet stream exactly — same symbol
+vectors, same order, same preamble positions — whenever no bounded-pool
+deviation fired (``deviations() == 0``).
+"""
+
+import numpy as np
+import pytest
+
+from gr_lora_tpu import LoraConfig
+from gr_lora_tpu.core.codec import decode, encode
+from gr_lora_tpu.models.device_tracker import DevicePyramidTracker
+from gr_lora_tpu.models.modulator import modulate
+from gr_lora_tpu.models.pyramid import (
+    PyramidTracker,
+    make_peak_lattice,
+    num_hops_for,
+)
+from gr_lora_tpu.ops.cplx import to_ri
+
+CFG = LoraConfig(sf=7, cr=1, crc=True, ldr=False, explicit_header=True,
+                 payload_len=8, p=2, fft_factor=4, threshold=5.0, beta=25.0)
+_N = CFG.num_samples
+
+
+def _tx(payload, amp, cfg=CFG):
+    iq = modulate(encode(payload, cfg), cfg, pad_front=0, pad_back=0)
+    return (amp * iq).astype(np.complex64)
+
+
+def _lattice(iq, cfg=CFG, max_peaks=8):
+    iq = np.ascontiguousarray(to_ri(iq), np.float32)
+    nh = num_hops_for(cfg, iq.shape[0])
+    import jax
+    fn = make_peak_lattice(cfg, nh, max_peaks)
+    return tuple(np.asarray(x) for x in jax.device_get(fn(iq)))
+
+
+def _host_run(lat, cfg=CFG, grace=0):
+    bins, h, hs, valid = lat
+    tr = PyramidTracker(cfg, grace=grace)
+    for t in range(bins.shape[0]):
+        v = valid[t]
+        if v.any():
+            order = np.argsort(bins[t][v], kind="stable")
+            tr.step(bins[t][v][order], h[t][v][order], hs[t][v][order])
+        else:
+            tr.step()
+    for _ in range(tr.flush_hops() + grace):
+        tr.step()
+    return tr.symbols_out, tr.positions_out
+
+
+def _device_run(lat, cfg=CFG, grace=0, max_peaks=8, **pools):
+    bins, h, hs, valid = lat
+    tr = DevicePyramidTracker(cfg, max_peaks=max_peaks, grace=grace, **pools)
+    tr.feed(bins, h, hs, valid)
+    tr.feed_empty(tr.flush_hops())
+    syms, pos = tr.drain()
+    assert tr.deviations() == 0, tr.stats()
+    return syms, pos
+
+
+def _assert_same(host, dev):
+    hsyms, hpos = host
+    dsyms, dpos = dev
+    assert len(hsyms) == len(dsyms), (len(hsyms), len(dsyms),
+                                      [s.tolist() for s in hsyms],
+                                      [s.tolist() for s in dsyms])
+    for hs_, ds, hp, dp in zip(hsyms, dsyms, hpos, dpos):
+        assert np.array_equal(hs_, ds), (hs_.tolist(), ds.tolist())
+        assert hp == dp, (hp, dp)
+
+
+def test_single_packet_equivalence():
+    pkt = _tx(bytes([183, 111, 71, 144, 71, 48]), 0.2)
+    iq = np.zeros(1000 + len(pkt) + 14 * _N, np.complex64)
+    iq[1000:1000 + len(pkt)] = pkt
+    lat = _lattice(iq)
+    host = _host_run(lat)
+    dev = _device_run(lat)
+    assert len(host[0]) == 1
+    _assert_same(host, dev)
+    # And the symbols actually decode (sanity that the fixture is real).
+    res = decode(dev[0][0], CFG)
+    assert res.ok and bytes(res.payload)[3:9] == bytes([183, 111, 71, 144,
+                                                        71, 48])
+
+
+def test_collision_equivalence():
+    """The README-style two-packet collision (the test_pyramid.py golden
+    operating point, sf=8 ff=8): both trackers must split the tracks into
+    the same two packets."""
+    cfg = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
+                     payload_len=8, p=2, fft_factor=8, threshold=5.0,
+                     beta=25.0)
+    n = cfg.num_samples
+    p1 = _tx(bytes([1, 2, 3, 4, 5, 6]), 0.2, cfg)
+    p2 = _tx(bytes([7, 7, 7, 7, 7]), 0.09, cfg)
+    total = 1000 + 22 * n + 2 * (13 * n + 18 * n) + 8 * n
+    iq = np.zeros(total, np.complex64)
+    iq[1000:1000 + len(p1)] += p1
+    off2 = 1000 + 16 * n + 4 * n // 8 + 204
+    iq[off2:off2 + len(p2)] += p2
+    lat = _lattice(iq, cfg)
+    host = _host_run(lat, cfg)
+    dev = _device_run(lat, cfg)
+    assert len(host[0]) >= 2, [s.tolist() for s in host[0]]
+    _assert_same(host, dev)
+
+
+def test_noise_and_multiblock_equivalence():
+    """Noisy collision fed to the device tracker in several blocks (state
+    carries across feed() calls exactly like the host's step loop)."""
+    rng = np.random.default_rng(3)
+    p1 = _tx(bytes([72, 229, 46, 41]), 0.22)
+    p2 = _tx(bytes([124, 8, 138, 59]), 0.1)
+    total = 600 + len(p1) + len(p2) + 12 * _N
+    iq = (0.02 * (rng.standard_normal(total) + 1j * rng.standard_normal(total))
+          ).astype(np.complex64)
+    iq[600:600 + len(p1)] += p1
+    off2 = 600 + 9 * _N + 33
+    iq[off2:off2 + len(p2)] += p2
+    lat = _lattice(iq)
+    host = _host_run(lat)
+
+    bins, h, hs, valid = lat
+    tr = DevicePyramidTracker(CFG, max_peaks=8)
+    blk = 150
+    for lo in range(0, bins.shape[0], blk):
+        sl = slice(lo, lo + blk)
+        tr.feed(bins[sl], h[sl], hs[sl], valid[sl])
+    tr.feed_empty(tr.flush_hops())
+    syms, pos = tr.drain()
+    assert tr.deviations() == 0, tr.stats()
+    assert len(host[0]) >= 1
+    _assert_same(host, (syms, pos))
+
+
+def test_grace_mode_equivalence():
+    """grace > 0 (the beyond-reference masked-peak extension) follows the
+    host's miss accounting exactly."""
+    p1 = _tx(bytes([183, 111, 71, 144, 71, 48]), 0.2)
+    p2 = _tx(bytes([51, 181, 222, 161, 104]), 0.07)
+    total = 1000 + len(p1) + len(p2) + 12 * _N
+    iq = np.zeros(total, np.complex64)
+    iq[1000:1000 + len(p1)] += p1
+    off2 = 1000 + 8 * _N + 101
+    iq[off2:off2 + len(p2)] += p2
+    lat = _lattice(iq)
+    _assert_same(_host_run(lat, grace=2), _device_run(lat, grace=2))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_synthetic_lattice_equivalence(seed):
+    """Synthetic peak lattices with packet-shaped track runs + clutter:
+    exercises track creation/matching/retirement, classification, packet
+    matching, TTL expiry and assembly against the host on adversarial
+    (non-physical) inputs."""
+    rng = np.random.default_rng(seed)
+    k = CFG.bin_size
+    H, M = 420, 8
+    bins = np.zeros((H, M), np.int32)
+    h = np.zeros((H, M), np.float32)
+    hs = np.zeros((H, M), np.float32)
+    valid = np.zeros((H, M), bool)
+
+    def put(t, b, hv, hsv):
+        t = int(t)
+        if not 0 <= t < H:
+            return
+        m = int(valid[t].sum())
+        if m >= M:
+            return
+        bins[t, m] = b % k
+        h[t, m] = hv
+        hs[t, m] = hsv
+        valid[t, m] = True
+
+    # 2-3 synthetic "packets": a 44-hop preamble-like run then 10-14
+    # data-like short runs spaced ~8 hops (one symbol) apart.
+    for _ in range(rng.integers(2, 4)):
+        t0 = int(rng.integers(0, H // 3))
+        b0 = int(rng.integers(0, k))
+        amp = float(rng.uniform(8, 40))
+        drift = k // 8
+        for i in range(44):
+            put(t0 + i, b0 + i * drift, amp * (1 + 0.02 * rng.standard_normal()),
+                amp * (0.8 + 0.1 * rng.standard_normal()))
+        tsym = t0 + 44 + int(rng.integers(2, 6))
+        for s in range(int(rng.integers(10, 15))):
+            bsym = int(rng.integers(0, k))
+            ln = int(rng.integers(2, 9))
+            for i in range(ln):
+                put(tsym + i, bsym + i * drift,
+                    amp * (1 + 0.05 * rng.standard_normal()),
+                    amp * (0.8 + 0.1 * rng.standard_normal()))
+            tsym += 8 + int(rng.integers(-1, 2))
+    # Clutter: random isolated peaks.
+    for _ in range(150):
+        put(rng.integers(0, H), rng.integers(0, k),
+            rng.uniform(5.5, 12), rng.uniform(4, 12))
+    # Reference scan order: ascending bin within each hop.
+    for t in range(H):
+        m = int(valid[t].sum())
+        order = np.argsort(bins[t, :m], kind="stable")
+        bins[t, :m] = bins[t, :m][order]
+        h[t, :m] = h[t, :m][order]
+        hs[t, :m] = hs[t, :m][order]
+
+    lat = (bins, h, hs, valid)
+    host = _host_run(lat)
+    dev = _device_run(lat)
+    _assert_same(host, dev)
+
+
+def test_drain_resets_and_accumulates():
+    iq = np.zeros(1000 + 40 * _N, np.complex64)
+    pkt = _tx(bytes([190, 87, 170, 218]), 0.2)
+    iq[1000:1000 + len(pkt)] = pkt
+    lat = _lattice(iq)
+    tr = DevicePyramidTracker(CFG, max_peaks=8)
+    tr.feed(*lat)
+    tr.feed_empty(tr.flush_hops())
+    syms1, _ = tr.drain()
+    assert len(syms1) == 1
+    syms2, _ = tr.drain()
+    assert syms2 == []
+    # State keeps working after a drain: a second packet goes through.
+    tr.feed(*lat)
+    tr.feed_empty(tr.flush_hops())
+    syms3, _ = tr.drain()
+    assert len(syms3) == 1
+    assert np.array_equal(syms3[0], syms1[0])
+    assert tr.deviations() == 0, tr.stats()
+
+
+def test_deviation_counters_fire_on_tiny_pools():
+    """Bounded pools degrade with counters, never silently."""
+    p1 = _tx(bytes([183, 111, 71, 144, 71, 48]), 0.2)
+    iq = np.zeros(1000 + len(p1) + 10 * _N, np.complex64)
+    iq[1000:1000 + len(p1)] += p1
+    lat = _lattice(iq)
+    tr = DevicePyramidTracker(CFG, max_peaks=8, track_pool=2)
+    tr.feed(*lat)
+    tr.feed_empty(tr.flush_hops())
+    assert tr.deviations() > 0
