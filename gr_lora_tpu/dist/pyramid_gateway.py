@@ -143,7 +143,8 @@ class PyramidGateway:
                  block_hops: int = 1024, max_peaks: int = 16,
                  grace: int = 0, mesh: Mesh | None = None,
                  backend: str = "xla", use_native: bool | None = None,
-                 decode_payloads: bool = True):
+                 decode_payloads: bool = True, tracker: str = "host",
+                 device_pools: dict | None = None):
         n = cfg.num_samples
         self.cfg = cfg
         self.channels = channels
@@ -154,9 +155,28 @@ class PyramidGateway:
         if block_hops % nt:
             raise ValueError(f"block_hops {block_hops} % t-shards {nt} != 0")
         self._nt = nt
-        self._plan = _make_batched_lattice(
-            cfg, mesh, channels, block_hops // nt, max_peaks, backend)
+        if tracker not in ("host", "device"):
+            raise ValueError(f"tracker must be 'host' or 'device': {tracker}")
+        self._device_mode = tracker == "device"
+        if self._device_mode:
+            if mesh is not None and jax.process_count() > 1:
+                raise NotImplementedError(
+                    "tracker='device' is single-process for now (the host "
+                    "tracker bank supports multi-host)")
+            from ..models.device_tracker import make_channel_tracker_plan
+            self._dev_init, self._dev_step, self._dev_pop = \
+                make_channel_tracker_plan(
+                    cfg, block_hops, max_peaks, grace, backend, mesh=mesh,
+                    **(device_pools or {}))
+            self._dev_states = self._dev_init(channels)
+        else:
+            self._plan = _make_batched_lattice(
+                cfg, mesh, channels, block_hops // nt, max_peaks, backend)
         self._decode = decode_payloads
+        #: Device->host bytes actually fetched (peak lattices in host mode;
+        #: packet counters + finished packets in device mode) — the VERDICT
+        #: task-3 measurement surface.
+        self.fetched_bytes = 0
 
         # Multi-host: the lattice spans processes over the mesh; the host
         # trackers are per-channel sequential state, so each PROCESS owns
@@ -195,16 +215,20 @@ class PyramidGateway:
         self.local_channels = local_channels
         self._mesh = mesh
 
-        if use_native is None:
-            from .. import native as _native
-            use_native = _native.available()
-        self._native = use_native
-        if use_native:
-            from .. import native as _native
-            self.trackers = _native.MultiPyramidTracker(cfg, local_channels,
-                                                        grace=grace)
+        if self._device_mode:
+            self._native = False
+            self.trackers = None
         else:
-            self.trackers = _PyTrackerBank(cfg, local_channels, grace)
+            if use_native is None:
+                from .. import native as _native
+                use_native = _native.available()
+            self._native = use_native
+            if use_native:
+                from .. import native as _native
+                self.trackers = _native.MultiPyramidTracker(
+                    cfg, local_channels, grace=grace)
+            else:
+                self.trackers = _PyTrackerBank(cfg, local_channels, grace)
         self._grace = grace
         self._pending = np.zeros((local_channels, 0, 2), np.float32)
         # One block in flight: the device computes block i+1's lattice
@@ -258,6 +282,16 @@ class PyramidGateway:
         return self.local_channels != self.channels
 
     def _dispatch(self, block: np.ndarray):
+        if self._device_mode:
+            if self._mesh is None:
+                self._dev_states, counts = self._dev_step(
+                    self._dev_states, jnp.asarray(block))
+            else:
+                own = np.ascontiguousarray(block[:, :self._block_len()])
+                tail = np.ascontiguousarray(block[:, self._block_len():])
+                self._dev_states, counts = self._dev_step(
+                    self._dev_states, own, tail)
+            return counts
         if self._plan.in_sharding is None:
             return self._plan.fn(jnp.asarray(block))
         own_np = np.ascontiguousarray(block[:, :self._block_len()])
@@ -291,14 +325,53 @@ class PyramidGateway:
     def _drain_inflight(self) -> list[GatewayPacket]:
         if self._inflight is None:
             return []
+        if self._device_mode:
+            return self._drain_device()
         t0 = time.perf_counter()
-        bins, h, hs, valid = _unpack_peaks(self._fetch_local(self._inflight))
+        raw = self._fetch_local(self._inflight)
+        self.fetched_bytes += raw.nbytes
+        bins, h, hs, valid = _unpack_peaks(raw)
         t1 = time.perf_counter()
         self.wall["fetch"] += t1 - t0
         self._inflight = None
         self.trackers.feed(bins, h, hs, valid)
         self.wall["tracker"] += time.perf_counter() - t1
         return self._collect()
+
+    def _drain_device(self) -> list[GatewayPacket]:
+        """Device-tracker drain: sync on the pipelined [C] packet counter
+        (4 B/channel — the ONLY per-block transfer) and pop finished
+        packets only when it is nonzero."""
+        t0 = time.perf_counter()
+        hint = np.asarray(jax.device_get(self._inflight))
+        self._inflight = None
+        self.fetched_bytes += hint.nbytes
+        if not hint.any():
+            self.wall["fetch"] += time.perf_counter() - t0
+            return []
+        self._dev_states, outs = self._dev_pop(self._dev_states)
+        # Fetch only the live region: counts + lengths first (tiny), then
+        # the symbol pool sliced to [*, max_count, max_len] — the device
+        # keeps the rest.
+        cnt = np.asarray(jax.device_get(outs[0]))
+        kmax = int(cnt.max())
+        o_len = np.asarray(jax.device_get(outs[1][:, :kmax]))
+        lmax = int(o_len.max()) if o_len.size else 0
+        o_pos = np.asarray(jax.device_get(outs[2][:, :kmax]))
+        o_syms = np.asarray(jax.device_get(outs[3][:, :kmax, :lmax]))
+        self.fetched_bytes += cnt.nbytes + o_len.nbytes + o_pos.nbytes \
+            + o_syms.nbytes
+        self.wall["fetch"] += time.perf_counter() - t0
+        out = []
+        t1 = time.perf_counter()
+        for ch in range(self.local_channels):
+            for i in range(int(cnt[ch])):
+                syms = o_syms[ch, i, :o_len[ch, i]].astype(np.uint16)
+                res = decode(syms, self.cfg) if self._decode else None
+                out.append(GatewayPacket(ch + self._ch_offset, syms, res,
+                                         int(o_pos[ch, i]), self.cfg.sf))
+        self.wall["decode"] += time.perf_counter() - t1
+        return out
 
     def _collect(self) -> list[GatewayPacket]:
         out = []
@@ -312,8 +385,12 @@ class PyramidGateway:
 
     def flush(self) -> list[GatewayPacket]:
         """Zero-pad to whole blocks and expire every live track/packet."""
-        drain_hops = (self.trackers.flush_hops() + self._grace
-                      + self.block_hops)
+        if self._device_mode:
+            from ..models.device_tracker import flush_hops
+            fh = flush_hops(self._grace)
+        else:
+            fh = self.trackers.flush_hops()
+        drain_hops = fh + self._grace + self.block_hops
         pad = drain_hops * self._hop + self._halo
         out = self.feed(
             np.zeros((self.local_channels, pad, 2), np.float32))
@@ -321,6 +398,13 @@ class PyramidGateway:
         return out
 
     def stats(self) -> dict:
+        if self._device_mode:
+            from ..models.device_tracker import _DEVIATION_COUNTERS
+            keys = _DEVIATION_COUNTERS + ("tracks_overflow_finalized",)
+            got = jax.device_get({k: self._dev_states[k] for k in keys})
+            s = {k: int(np.sum(v)) for k, v in got.items()}
+            s["deviations"] = sum(s[k] for k in _DEVIATION_COUNTERS)
+            return s
         return self.trackers.stats()
 
 
@@ -348,7 +432,8 @@ class MultiSFPyramidGateway:
                  max_peaks: int = 8, grace: int = 0,
                  mesh: Mesh | None = None, backend: str = "xla",
                  use_native: bool | None = None,
-                 decode_payloads: bool = True, bw: float = 125e3):
+                 decode_payloads: bool = True, bw: float = 125e3,
+                 tracker: str = "host", device_pools: dict | None = None):
         self.channels = channels
         self.gws: dict[int, PyramidGateway] = {}
         for sf in sfs:
@@ -358,7 +443,12 @@ class MultiSFPyramidGateway:
             self.gws[sf] = PyramidGateway(
                 cfg, channels, block_hops=bh, max_peaks=max_peaks,
                 grace=grace, mesh=mesh, backend=backend,
-                use_native=use_native, decode_payloads=decode_payloads)
+                use_native=use_native, decode_payloads=decode_payloads,
+                tracker=tracker, device_pools=device_pools)
+
+    @property
+    def fetched_bytes(self) -> int:
+        return sum(gw.fetched_bytes for gw in self.gws.values())
 
     @property
     def cfgs(self) -> dict[int, LoraConfig]:

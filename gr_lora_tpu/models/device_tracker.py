@@ -75,6 +75,12 @@ def _at_set(arr, idx, cond, val):
     return arr.at[idx].set(jnp.where(cond, val, arr[idx]))
 
 
+def flush_hops(grace: int = 0) -> int:
+    """Empty hops needed to retire every live track and expire every
+    packet (host PyramidTracker.flush_hops analog)."""
+    return (PYRAMID_NUM_PREAMBLE + 3) * _OV + _TTL0 + 2 + grace
+
+
 @lru_cache(maxsize=None)
 def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
                         grace: int = 0, track_pool: int = 64,
@@ -378,6 +384,118 @@ _DEVIATION_COUNTERS = ("tracks_dropped", "packets_dropped",
                        "packet_peak_overflow", "out_overflow")
 
 
+def make_channel_tracker_plan(cfg: LoraConfig, block_hops: int,
+                              max_peaks: int = 16, grace: int = 0,
+                              backend: str = "xla", mesh=None,
+                              lattice_block_hops: int | None = None,
+                              **pools):
+    """Fused lattice+tracker step over a channel batch — the gateway's
+    on-device tracking mode (dist/pyramid_gateway.py ``tracker='device'``).
+
+    Returns ``(init, step, pop)``:
+
+    - ``init(channels)`` -> per-channel tracker states (leading C axis;
+      with a mesh, placed ``P('ch')`` and replicated along ``t``).
+    - ``step(states, iq[, tail])`` -> ``(states', o_count[C])``: computes
+      the peak lattice for one ``[C, block_len(+halo), 2]`` IQ block and
+      advances every channel's tracker ON DEVICE — the lattice is consumed
+      where it is produced; only the int32 packet counter ever needs to
+      sync.  With a mesh the IQ is ``P('ch','t')`` with a ppermute'd
+      right halo exactly like the host-tracker plan, and the per-t-shard
+      lattices are ``all_gather``ed along ``t`` (peaks are ~KB — the
+      gather rides ICI) so the tracker scan, which is sequential in time,
+      runs replicated on every t-shard of its channel row.
+    - ``pop(states)`` -> ``(states', (o_len, o_pos, o_syms))``: takes the
+      finished packets and zeroes the output pool — called only when
+      ``o_count`` says there is something to fetch.
+    """
+    from .pyramid import peak_lattice_fn
+
+    init1, proc = make_device_tracker(cfg, max_peaks, grace, **pools)
+    n = cfg.num_samples
+    hop = n // _OV
+    halo = n - hop
+
+    def pop(states):
+        # o_count here is authoritative: the step's returned counts are a
+        # pipelined *hint* (snapshotted one block earlier), so a pop racing
+        # a newer step must take exactly what is in the pool now.
+        outs = (states["o_count"], states["o_len"], states["o_pos"],
+                states["o_syms"])
+        states = dict(states)
+        states["o_count"] = jnp.zeros_like(states["o_count"])
+        return states, outs
+
+    if mesh is None:
+        lat = peak_lattice_fn(cfg, block_hops, max_peaks, backend,
+                              block_hops=lattice_block_hops)
+
+        def one(state, x):
+            return proc(state, *lat(x))
+
+        def step(states, iq):
+            states = jax.vmap(one)(states, iq)
+            return states, states["o_count"]
+
+        def init(channels):
+            return jax.vmap(lambda _: init1())(jnp.arange(channels))
+
+        return (init, jax.jit(step, donate_argnums=0),
+                jax.jit(pop, donate_argnums=0))
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    nt = mesh.shape.get("t", 1)
+    if block_hops % nt:
+        raise ValueError(f"block_hops {block_hops} % t-shards {nt} != 0")
+    lat = peak_lattice_fn(cfg, block_hops // nt, max_peaks, backend,
+                          block_hops=lattice_block_hops)
+
+    def shard_body(states_local, iq_local, tail_local):
+        right = jax.lax.ppermute(
+            iq_local[:, :halo, :], "t",
+            [(i + 1, i) for i in range(nt - 1)])
+        is_last = jax.lax.axis_index("t") == nt - 1
+        right = jnp.where(is_last, tail_local, right)
+        ext = jnp.concatenate([iq_local, right], axis=1)
+        outs = jax.vmap(lat)(ext)          # [C/nch, H/nt, M] each
+        full = tuple(jax.lax.all_gather(o, "t", axis=1, tiled=True)
+                     for o in outs)        # [C/nch, H, M] — replicated walk
+        states_local = jax.vmap(proc)(states_local, *full)
+        return states_local, states_local["o_count"]
+
+    st_spec = lambda leaf: P(*(("ch",) + (None,) * (leaf.ndim - 1)))
+
+    def _state_specs(states):
+        return jax.tree.map(st_spec, states)
+
+    def init(channels):
+        states = jax.vmap(lambda _: init1())(jnp.arange(channels))
+        return jax.tree.map(
+            lambda leaf: jax.device_put(
+                leaf, NamedSharding(mesh, st_spec(leaf))), states)
+
+    proto = jax.eval_shape(lambda: jax.vmap(lambda _: init1())(
+        jnp.arange(mesh.shape.get("ch", 1))))
+    sspec = _state_specs(proto)
+    out_proto = jax.eval_shape(pop, proto)[1]
+    ospec = jax.tree.map(st_spec, out_proto)
+    # States are replicated along 't' by construction (every t-shard walks
+    # the all_gathered lattice identically); the halo ppermute defeats
+    # shard_map's static replication check, so it is disabled.
+    shmap = partial(jax.shard_map, check_vma=False)
+    inner = shmap(
+        shard_body, mesh=mesh,
+        in_specs=(sspec, P("ch", "t", None), P("ch", None, None)),
+        out_specs=(sspec, P("ch")),
+    )
+    pop_sharded = shmap(pop, mesh=mesh, in_specs=(sspec,),
+                        out_specs=(sspec, ospec))
+    return (init, jax.jit(inner, donate_argnums=0),
+            jax.jit(pop_sharded, donate_argnums=0))
+
+
 class DevicePyramidTracker:
     """Host handle over one on-device tracker: feed lattice blocks (device
     arrays — nothing is fetched), drain finished packets (the only
@@ -406,7 +524,7 @@ class DevicePyramidTracker:
                   z.astype(bool))
 
     def flush_hops(self) -> int:
-        return ((PYRAMID_NUM_PREAMBLE + 3) * _OV + _TTL0 + 2 + self.grace)
+        return flush_hops(self.grace)
 
     def drain(self):
         """Fetch finished packets; returns (symbol arrays, positions)."""
