@@ -160,6 +160,11 @@ def main():
                     default="xla",
                     help="pyramid front-end formulation (ops/dechirp direct "
                          "matmul vs ops/overlap_dft chunk decomposition)")
+    ap.add_argument("--tracker", choices=["host", "device"], default="host",
+                    help="pyramid_gateway / north_star: peak tracking on "
+                         "the host (native C++ bank, lattice fetched) or "
+                         "on-device (models/device_tracker — only finished "
+                         "packets leave the chip)")
     args = ap.parse_args()
 
     import jax
@@ -590,11 +595,13 @@ def bench_pyramid_gateway(args):
         bh = {sf: max(64, block_hops * (1 << args.sf) // (1 << sf))
               for sf in sfs}
         gw = MultiSFPyramidGateway(cfg, channels, sfs=sfs, block_hops=bh,
-                                   max_peaks=8, backend=args.backend)
+                                   max_peaks=8, backend=args.backend,
+                                   tracker=args.tracker)
         mode_tag = f"pyramid_gateway_multisf sfs={sfs}"
     else:
         gw = PyramidGateway(cfg, channels, block_hops=block_hops,
-                            max_peaks=8, backend=args.backend)
+                            max_peaks=8, backend=args.backend,
+                            tracker=args.tracker)
         mode_tag = "pyramid_gateway"
     pkts = len(gw.feed(ri))         # warm-up: compile + first tracker walk
     gw.wall_reset()
@@ -651,7 +658,8 @@ def bench_north_star(args):
                       payload_len=8, p=args.p, fft_factor=8, threshold=5.0,
                       precision=args.precision)
     gw = TriggeredPyramidGateway(base, channels, sfs=sfs,
-                                 max_payload_len=16, backend=args.backend)
+                                 max_payload_len=16, backend=args.backend,
+                                 tracker=args.tracker)
 
     # Fixture: golden SF8 collision on every channel (both PDUs known
     # byte-exact) + one single packet at a per-channel round-robin SF.

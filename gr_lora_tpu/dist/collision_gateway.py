@@ -79,7 +79,8 @@ class TriggeredPyramidGateway:
                  event_batch: int = 8, snr_gate: float = 3.0,
                  scan_fft_factor: int = 2, grace: int = 0,
                  backend: str = "xla", use_native: bool | None = None,
-                 decode_payloads: bool = True, bw: float = 125e3):
+                 decode_payloads: bool = True, bw: float = 125e3,
+                 tracker: str = "host"):
         self.channels = channels
         self.max_events = max_events
         self.event_batch = event_batch
@@ -88,6 +89,12 @@ class TriggeredPyramidGateway:
         self.backend = backend
         self.max_peaks = max_peaks
         self._decode = decode_payloads
+        if tracker not in ("host", "device"):
+            raise ValueError(f"tracker must be 'host' or 'device': {tracker}")
+        self._device_mode = tracker == "device"
+        #: Bounded-pool deviation events from the on-device trackers
+        #: (0 = host-exact semantics; see models/device_tracker).
+        self.device_deviations = 0
         if use_native is None:
             from .. import native as _native
             use_native = _native.available()
@@ -164,17 +171,50 @@ class TriggeredPyramidGateway:
     _LATTICE_BUDGET_BYTES = 4 << 30
     _LATTICE_TEMPS = 32
 
+    def _lattice_block_hops(self, st: _SFState) -> int | None:
+        per_hop = (self.event_batch * st.cfg.bin_size * 4
+                   * self._LATTICE_TEMPS)
+        blk = max(int(self._LATTICE_BUDGET_BYTES // per_hop), 32)
+        return blk if blk < st.win_hops else None
+
     def _lattice(self, st: _SFState):
         key = st.cfg.sf
         if key not in self._lattice_fns:
-            per_hop = (self.event_batch * st.cfg.bin_size * 4
-                       * self._LATTICE_TEMPS)
-            blk = max(int(self._LATTICE_BUDGET_BYTES // per_hop), 32)
             run = peak_lattice_fn(st.cfg, st.win_hops, self.max_peaks,
                                   self.backend,
-                                  block_hops=blk if blk < st.win_hops
-                                  else None)
+                                  block_hops=self._lattice_block_hops(st))
             self._lattice_fns[key] = jax.jit(jax.vmap(run))
+        return self._lattice_fns[key]
+
+    def _device_window_fn(self, st: _SFState):
+        """Fused window decoder for tracker='device': lattice + on-device
+        tracker + flush, one pure jit — windows are self-contained, so the
+        state is born and dies inside the call and only finished packets
+        (plus the deviation total) are fetched."""
+        key = st.cfg.sf
+        if key not in self._lattice_fns:
+            import jax.numpy as jnp
+
+            from ..models.device_tracker import (_DEVIATION_COUNTERS,
+                                                 flush_hops,
+                                                 make_device_tracker)
+            init1, proc = make_device_tracker(st.cfg, self.max_peaks,
+                                              self.grace)
+            run = peak_lattice_fn(st.cfg, st.win_hops, self.max_peaks,
+                                  self.backend,
+                                  block_hops=self._lattice_block_hops(st))
+            fh = flush_hops(self.grace) + self.grace
+
+            def one(x):
+                state = proc(init1(), *run(x))
+                z = jnp.zeros((fh, self.max_peaks), jnp.float32)
+                state = proc(state, z.astype(jnp.int32), z, z,
+                             z.astype(bool))
+                dev = sum(state[k] for k in _DEVIATION_COUNTERS)
+                return (state["o_count"], state["o_len"], state["o_pos"],
+                        state["o_syms"], dev)
+
+            self._lattice_fns[key] = jax.jit(jax.vmap(one))
         return self._lattice_fns[key]
 
     # -- streaming --------------------------------------------------------
@@ -269,6 +309,24 @@ class TriggeredPyramidGateway:
             st.dispatched.append((ch, pos))
         self.dispatched_samples += len(events) * win
 
+        if self._device_mode:
+            t0 = time.perf_counter()
+            outs = self._device_window_fn(st)(jnp.asarray(slices))
+            cnt = np.asarray(jax.device_get(outs[0]))
+            kmax = int(cnt.max())
+            o_len = np.asarray(jax.device_get(outs[1][:, :kmax]))
+            lmax = int(o_len.max()) if o_len.size else 0
+            o_pos = np.asarray(jax.device_get(outs[2][:, :kmax]))
+            o_syms = np.asarray(jax.device_get(outs[3][:, :kmax, :lmax]))
+            self.device_deviations += int(np.sum(
+                np.asarray(jax.device_get(outs[4]))))
+            self.wall["lattice"] += time.perf_counter() - t0
+            results = [(i, int(o_pos[i, j]),
+                        o_syms[i, j, :o_len[i, j]].astype(np.uint16))
+                       for i in range(eb) for j in range(int(cnt[i]))]
+            t2 = time.perf_counter()
+            return self._emit(st, events, results, t2)
+
         t0 = time.perf_counter()
         bins, h, hs, valid = (np.asarray(x) for x in jax.device_get(
             self._lattice(st)(jnp.asarray(slices))))
@@ -304,7 +362,11 @@ class TriggeredPyramidGateway:
                             zip(tr.positions_out, tr.symbols_out)]
         t2 = time.perf_counter()
         self.wall["tracker"] += t2 - t1
+        return self._emit(st, events, results, t2)
 
+    def _emit(self, st: _SFState, events, results,
+              t2: float) -> list[GatewayPacket]:
+        n = st.cfg.num_samples
         out: list[GatewayPacket] = []
         for i, ts, syms in results:
             if i >= len(events):
@@ -352,4 +414,5 @@ class TriggeredPyramidGateway:
             "dropped_events": self.dropped_events,
             "pending_events": sum(len(st.pending)
                                   for st in self.sf_states.values()),
+            "device_deviations": self.device_deviations,
         }

@@ -36,8 +36,10 @@ def _golden_collision(cfg):
     return out
 
 
-@pytest.mark.parametrize("use_native", [True, False])
-def test_triggered_pyramid_gateway(use_native):
+@pytest.mark.parametrize("use_native,tracker",
+                         [(True, "host"), (False, "host"),
+                          (False, "device")])
+def test_triggered_pyramid_gateway(use_native, tracker):
     if use_native:
         from gr_lora_tpu import native
         if not native.available():
@@ -45,7 +47,7 @@ def test_triggered_pyramid_gateway(use_native):
     channels = 3
     gw = TriggeredPyramidGateway(BASE, channels, sfs=(7, 8, 9),
                                  max_payload_len=16,
-                                 use_native=use_native)
+                                 use_native=use_native, tracker=tracker)
 
     coll = _golden_collision(gw.sf_states[8].cfg)
     cfg9 = gw.sf_states[9].cfg
@@ -93,6 +95,8 @@ def test_triggered_pyramid_gateway(use_native):
     assert s["scanned_samples"] > 0 and s["dispatched_samples"] > 0
     assert s["pending_events"] == 0
     assert gw.wall["scan"] > 0 and gw.wall["lattice"] > 0
+    if tracker == "device":
+        assert s["device_deviations"] == 0, s
 
 
 def test_cotimed_channels_not_suppressed():
