@@ -337,6 +337,60 @@ def per_point(cfg, snr_db, trials, seed, weak=False):
     return 1.0 - ok / trials
 
 
+# Anchors for the measured waterfalls (VERDICT r2 #6).  Two independent
+# references:
+#  - Semtech SX127x demodulator SNR ladder (datasheet "SNR = -7.5 dB at
+#    SF7, 2.5 dB per SF": sensitivity minus the -117 dBm thermal floor at
+#    125 kHz/NF 6 dB) — what production silicon achieves at ~1 % PER.
+#  - The IDEAL non-coherent bound computed below — dechirp + magnitude
+#    argmax IS non-coherent 2^sf-ary orthogonal signaling, so a perfectly
+#    synchronized receiver's SER has a closed form; no receiver can sit
+#    below it.
+_SEMTECH_SNR_DB = {7: -7.5, 8: -10.0, 9: -12.5, 10: -15.0, 11: -17.5,
+                   12: -20.0}
+# Measured detection overhead vs the silicon ladder (docs/BENCH.md anchor
+# table): 4-consecutive-argmax packet detection + hard-decision decode at
+# PACKET-perfect PER=0.5 costs <= ~4 dB at low SF, and BEATS the ladder at
+# SF >= 10.  The assertion band encodes that envelope.
+_ANCHOR_TOL_ABOVE_DB = 4.5
+_ANCHOR_TOL_BELOW_IDEAL_DB = 1.0
+
+
+def ideal_per_waterfall(sf: int, nsym: int, per: float = 0.5,
+                        samples: int = 400_000, seed: int = 0) -> float:
+    """In-band SNR (dB) where an IDEAL receiver reaches packet-error
+    ``per`` over ``nsym`` uncoded symbols.
+
+    Dechirped LoRa symbol detection is non-coherent M-ary orthogonal
+    signaling (M = 2^sf): correct iff the signal bin's magnitude beats all
+    M-1 Exp(1) noise bins, so SER(g) = 1 - E[(1 - exp(-S))^(M-1)] with
+    S = |sqrt(g) + CN(0,1)|^2 and g = Es/N0 = SNR_inband * 2^sf.  The
+    expectation is a 1-D integral, evaluated here by a fixed-seed Monte
+    Carlo over S (~1e-3 absolute accuracy).  Idealizations: perfect
+    sync/CFO, no coding, no fold penalty — a strict lower bound for the
+    real chain."""
+    m = (1 << sf) - 1
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(samples) * np.sqrt(0.5)
+    y = rng.standard_normal(samples) * np.sqrt(0.5)
+    ser_target = 1.0 - (1.0 - per) ** (1.0 / nsym)
+
+    def ser(snr_db: float) -> float:
+        g = 10.0 ** (snr_db / 10.0) * (1 << sf)
+        s = (np.sqrt(g) + x) ** 2 + y ** 2
+        # (1-e^-s)^m via expm1/log1p for numerical stability at large s.
+        return float(1.0 - np.mean(np.exp(m * np.log1p(-np.exp(-s)))))
+
+    lo, hi = -40.0, 10.0
+    for _ in range(40):
+        mid = (lo + hi) / 2
+        if ser(mid) > ser_target:
+            lo = mid
+        else:
+            hi = mid
+    return round((lo + hi) / 2, 2)
+
+
 def _per_waterfall(points):
     """Interpolated SNR at PER = 0.5 from a sorted [(snr, per), ...]."""
     pts = sorted(points)
@@ -348,7 +402,7 @@ def _per_waterfall(points):
     return None
 
 
-def _write_per_artifact(args, curves):
+def _write_per_artifact(args, curves, anchors=None):
     import os
 
     import jax
@@ -356,6 +410,8 @@ def _write_per_artifact(args, curves):
     os.makedirs("docs", exist_ok=True)
     artifact = {"device": jax.devices()[0].device_kind, "p": args.p,
                 "precision": args.precision, "curves": curves}
+    if anchors:
+        artifact["anchors"] = anchors
     # Atomic: this is the long sweep's checkpoint — a kill mid-dump must
     # not destroy the curves already collected.
     tmp = "docs/per_curves.json.tmp"
@@ -417,6 +473,36 @@ def bench_per(args):
             _write_per_artifact(args, curves)   # incremental (long TPU run)
     dt = time.perf_counter() - t0
     dev = jax.devices()[0]
+
+    # Anchor check (VERDICT r2 #6): every plain waterfall must sit between
+    # the ideal non-coherent bound (physics) and the Semtech SX127x ladder
+    # plus the documented detection overhead.  Quick runs are too noisy to
+    # gate on (6 trials -> +-2 dB waterfall jitter); they only report.
+    from gr_lora_tpu.core.header import calc_sym_num
+    anchors = {}
+    for sf in sfs:
+        key = f"sf{sf}_plain"
+        wf = curves.get(key, {}).get("waterfall_db")
+        if wf is None:
+            continue
+        ldr = (1 << sf) / 125e3 > 16e-3
+        nsym = calc_sym_num(8, sf=sf, cr=1, crc=True, ldr=ldr,
+                            explicit_header=False)
+        ideal = ideal_per_waterfall(sf, nsym)
+        semtech = _SEMTECH_SNR_DB[sf]
+        anchors[key] = {"ideal_db": ideal, "semtech_db": semtech,
+                        "measured_db": wf,
+                        "vs_semtech_db": round(wf - semtech, 2)}
+        if not args.quick and trials >= 30:
+            assert wf >= ideal - _ANCHOR_TOL_BELOW_IDEAL_DB, \
+                f"{key}: measured {wf} beats the ideal bound {ideal}" \
+                " — measurement bug (check noise calibration)"
+            assert wf <= semtech + _ANCHOR_TOL_ABOVE_DB, \
+                f"{key}: measured {wf} vs Semtech {semtech} exceeds the" \
+                f" {_ANCHOR_TOL_ABOVE_DB} dB detection-overhead band"
+    if anchors:
+        _write_per_artifact(args, curves, anchors)
+        print(f"# anchors: {json.dumps(anchors)}", file=sys.stderr)
 
     wf8 = curves.get("sf8_plain", {}).get("waterfall_db")
     print(json.dumps({
