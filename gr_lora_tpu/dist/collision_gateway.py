@@ -41,6 +41,7 @@ from ..core.header import calc_sym_num
 from ..models.modulator import NUM_PREAMBLE_CHIRPS, packet_duration
 from ..models.pyramid import PyramidTracker, peak_lattice_fn
 from ..ops.cplx import to_ri
+from ..pipeline.device_ring import DeviceRing
 from .pyramid_gateway import GatewayPacket
 from .triggered import make_preamble_scan
 
@@ -80,7 +81,7 @@ class TriggeredPyramidGateway:
                  scan_fft_factor: int = 2, grace: int = 0,
                  backend: str = "xla", use_native: bool | None = None,
                  decode_payloads: bool = True, bw: float = 125e3,
-                 tracker: str = "host"):
+                 tracker: str = "host", scan_precision: str | None = None):
         self.channels = channels
         self.max_events = max_events
         self.event_batch = event_batch
@@ -99,6 +100,12 @@ class TriggeredPyramidGateway:
             from .. import native as _native
             use_native = _native.available()
         self._native = use_native
+
+        # The scan only needs a stable argmax + a 3x-mean dominance gate,
+        # not sub-bin peak accuracy, so it can run a cheaper MXU tier than
+        # the extraction lattice (bf16 = 1 MXU pass vs 3 for 'default');
+        # None inherits the base config's tier.
+        scan_precision = scan_precision or base.precision
 
         self.sf_states: dict[int, _SFState] = {}
         for sf in sfs:
@@ -123,18 +130,29 @@ class TriggeredPyramidGateway:
             win_hops = -(-(want - (n - hop)) // hop)    # ceil to hop grid
             self.sf_states[sf] = _SFState(
                 cfg=cfg,
-                scan_cfg=cfg.replace(fft_factor=scan_fft_factor),
+                scan_cfg=cfg.replace(fft_factor=scan_fft_factor,
+                                     precision=scan_precision),
                 win_hops=win_hops, lead=lead, suppress=span)
 
-        self._base = 0                       # abs index of buffer[?, 0]
-        self._buf = np.zeros((channels, 0, 2), np.float32)
+        # Samples live in HBM (pipeline/device_ring): the window lead is
+        # pre-filled zero history so every dispatched window offset is
+        # in-span, and _base starts at -history to keep absolute positions
+        # identical to the host-buffer formulation.
+        history = max(st.lead for st in self.sf_states.values())
+        hint = max(
+            (_SCAN_CHUNK_WINDOWS + REQUIRED_PREAMBLE_CHIRPS + 2)
+            * st.cfg.num_samples + self._win_samples(st) + st.lead
+            for st in self.sf_states.values())
+        self._ring = DeviceRing(channels, hint + history, history=history)
+        self._base = -history                # abs index of span offset 0
         self._scan_fns: dict = {}
         self._lattice_fns: dict = {}
         self.out_pending: list[GatewayPacket] = []
-        #: Wall split: scan = dense detection (device); lattice = window
-        #: dispatch+fetch (device wait + transfer); tracker / decode = host.
-        self.wall = {"scan": 0.0, "lattice": 0.0, "tracker": 0.0,
-                     "decode": 0.0}
+        #: Wall split: ingest = host->device upload sync (zero when fed
+        #: device-resident arrays); scan = dense detection (device);
+        #: lattice = window dispatch+fetch; tracker / decode = host.
+        self.wall = {"ingest": 0.0, "scan": 0.0, "lattice": 0.0,
+                     "tracker": 0.0, "decode": 0.0}
         #: Samples dispatched to the pyramid lattice (occupancy metric;
         #: includes window overlap) vs samples scanned.
         self.dispatched_samples = 0
@@ -219,13 +237,23 @@ class TriggeredPyramidGateway:
 
     # -- streaming --------------------------------------------------------
     def feed(self, iq) -> list[GatewayPacket]:
+        """``iq``: [channels, T, 2] float32 (or [channels, T] complex) —
+        a host ndarray (uploaded once; tunnel/PCIe cost shows in
+        wall['ingest']) or an already-on-device jax array (no link
+        traffic — the production pinned-buffer path)."""
+        host = isinstance(iq, np.ndarray) or np.iscomplexobj(iq)
         if np.iscomplexobj(iq):
             iq = to_ri(np.asarray(iq))
-        iq = np.asarray(iq, np.float32)
+        if isinstance(iq, np.ndarray):
+            iq = np.asarray(iq, np.float32)
         if iq.ndim == 2:
             iq = iq[None]
         assert iq.shape[0] == self.channels, (iq.shape, self.channels)
-        self._buf = np.concatenate([self._buf, iq], axis=1)
+        t0 = time.perf_counter()
+        self._ring.append(iq)
+        if host:
+            self._ring.sync()
+            self.wall["ingest"] += time.perf_counter() - t0
         out = self._process(final=False)
         self._trim()
         return out
@@ -235,15 +263,13 @@ class TriggeredPyramidGateway:
         pad = max((self._win_samples(st) + st.lead
                    + (_SCAN_CHUNK_WINDOWS + 1) * st.cfg.num_samples
                    for st in self.sf_states.values()), default=0)
-        self._buf = np.concatenate(
-            [self._buf, np.zeros((self.channels, pad, 2), np.float32)],
-            axis=1)
+        self._ring.append(jnp.zeros((self.channels, pad, 2), jnp.float32))
         out = self._process(final=True)
         self._trim()
         return out
 
     def _process(self, final: bool) -> list[GatewayPacket]:
-        end = self._base + self._buf.shape[1]
+        end = self._base + self._ring.length
         out: list[GatewayPacket] = list(self.out_pending)
         self.out_pending = []
         for sf, st in self.sf_states.items():
@@ -261,10 +287,10 @@ class TriggeredPyramidGateway:
         overlap_w = REQUIRED_PREAMBLE_CHIRPS + 2
         while st.next_scan + chunk <= end:
             lo = st.next_scan - self._base
-            seg = self._buf[:, lo:lo + chunk]
             t0 = time.perf_counter()
+            seg = self._ring.slice(lo, chunk)
             starts, valid, nhits = (np.asarray(x) for x in jax.device_get(
-                self._scan(st)(jnp.asarray(seg))))
+                self._scan(st)(seg)))
             self.wall["scan"] += time.perf_counter() - t0
             self.scanned_samples += self.channels * chunk
             self.dropped_events += int(
@@ -301,17 +327,21 @@ class TriggeredPyramidGateway:
         eb = self.event_batch
         n = st.cfg.num_samples
         hop = n // PYRAMID_OVERLAP_FACTOR
-        slices = np.zeros((eb, win, 2), np.float32)
+        # Window gather stays on-device: [eb, win, 2] HBM->HBM.  Unused
+        # batch lanes re-read window 0 of channel 0 — _emit drops results
+        # with i >= len(events), so their decodes are never surfaced.
+        chs = np.zeros(eb, np.int32)
+        los = np.zeros(eb, np.int64)
         for i, (ch, pos) in enumerate(events):
-            lo = pos - st.lead - self._base
-            seg = self._buf[ch, max(lo, 0):lo + win]
-            slices[i, max(-lo, 0):max(-lo, 0) + seg.shape[0]] = seg
+            chs[i] = ch
+            los[i] = pos - st.lead - self._base
             st.dispatched.append((ch, pos))
+        t0 = time.perf_counter()
+        slices = self._ring.gather(chs, los, win)
         self.dispatched_samples += len(events) * win
 
         if self._device_mode:
-            t0 = time.perf_counter()
-            outs = self._device_window_fn(st)(jnp.asarray(slices))
+            outs = self._device_window_fn(st)(slices)
             cnt = np.asarray(jax.device_get(outs[0]))
             kmax = int(cnt.max())
             o_len = np.asarray(jax.device_get(outs[1][:, :kmax]))
@@ -327,9 +357,8 @@ class TriggeredPyramidGateway:
             t2 = time.perf_counter()
             return self._emit(st, events, results, t2)
 
-        t0 = time.perf_counter()
         bins, h, hs, valid = (np.asarray(x) for x in jax.device_get(
-            self._lattice(st)(jnp.asarray(slices))))
+            self._lattice(st)(slices)))
         t1 = time.perf_counter()
         self.wall["lattice"] += t1 - t0
 
@@ -393,19 +422,23 @@ class TriggeredPyramidGateway:
 
     def _trim(self):
         """Discard buffer samples nothing can reference any more."""
-        keep_from = self._base + self._buf.shape[1]
+        keep_from = self._base + self._ring.length
         for st in self.sf_states.values():
-            lo_scan = st.next_scan
+            # Dispatched windows read back to pos - lead; scans back to
+            # next_scan.  Keep the largest lead of history before either so
+            # a future event's window never reaches past the span start.
+            lo_scan = st.next_scan - st.lead
             lo_pend = min((pos - st.lead for _, pos in st.pending),
                           default=keep_from)
             keep_from = min(keep_from, lo_scan, lo_pend)
         cut = keep_from - self._base
         if cut > 0:
-            self._buf = self._buf[:, cut:]
+            self._ring.trim(cut)
             self._base += cut
 
     def stats(self) -> dict:
         return {
+            "ingest_bytes": self._ring.ingest_bytes,
             "dispatched_samples": self.dispatched_samples,
             "scanned_samples": self.scanned_samples,
             "duty_cycle": (self.dispatched_samples

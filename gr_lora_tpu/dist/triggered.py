@@ -137,7 +137,8 @@ class TriggeredReceiver:
         if iq.ndim == 2:
             iq = iq[None]
         c, t, _ = iq.shape
-        out: list[TriggeredPacket] = []
+        diq = jnp.asarray(iq)        # cross the host->device link ONCE;
+        out: list[TriggeredPacket] = []   # every SF scans the same copy
         for sf, cfg in self.cfgs.items():
             n = cfg.num_samples
             nw = t // n
@@ -145,7 +146,7 @@ class TriggeredReceiver:
                 continue
             scan = make_preamble_scan(cfg, nw, self.max_events, self.snr_gate)
             starts, valid, nhits = (np.asarray(x) for x in
-                                    jax.device_get(scan(jnp.asarray(iq))))
+                                    jax.device_get(scan(diq)))
             self.dropped_events += int(
                 np.sum(np.maximum(nhits - self.max_events, 0)))
             win = min(scan_window(cfg), t)

@@ -1,0 +1,149 @@
+"""MXU-fused direct pyramid front-end, round 3: bf16 matmul + in-VMEM
+magnitude/fold epilogue with grid-pipelined I/O.
+
+The direct formulation's bf16 plateau (docs/BENCH.md r2: bf16 measured the
+same ~250 Msps as f32-default) is traffic + epilogue bound: XLA
+materializes the packed [B, 2C] f32 spectra in HBM, then magnitude / fold
+/ reduce kernels re-read them.  This kernel keeps the spectra in VMEM:
+
+  per (bin-tile j, frame-tile i) grid cell — ONE bf16 MXU dot
+      y[ft, 8*kt] = frames[ft, 2N] @ W[2N, 8*kt]      (f32 accumulate)
+  followed by the whole epilogue on the accumulator while it is live:
+      m_c = sqrt(y_cre^2 + y_cim^2)      c = 0..3
+      fa = m0 + m1,  hs = max(m0, m1),  faw = m2 + m3
+
+so HBM sees only bf16 frames in (32 MB at the bench point) and the three
+[B, K] f32 spectra out — the f32 complex spectra (4x larger) never exist.
+
+Differences from the round-1 kernel (ops/pallas_frontend.py, kept for
+comparison): inputs are BlockSpec-managed, so Mosaic double-buffers the
+frame tiles across grid steps (the round-1 kernel issued manual DMAs and
+waited on them inline, serializing memory behind compute — measured 125
+Msps); and the four complex components are ONE wide dot instead of eight
+narrow ones.
+
+Frame building (overlapped stack + re/im concat + bf16 cast) stays in XLA:
+it is a pure layout op XLA pipelines well, and feeding [B, 2N] packed rows
+keeps every kernel slice 128-lane aligned.
+
+Weight column layout per bin tile j (kt bins each):
+  [c0_re | c0_im | c1_re | c1_im | c2_re | c2_im | c3_re | c3_im]
+with c0/c2 = unwindowed/windowed bins [0, K), c1/c3 = bins [F-K, F)
+(the top-band fold, see ops/dechirp.py on the fold landmine; reference
+hot loop: pyramid_demod_impl.cc:569-603).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import PYRAMID_OVERLAP_FACTOR, LoraConfig
+from .chirp import chirp_tables
+from .dechirp import kaiser_window
+
+_R = PYRAMID_OVERLAP_FACTOR
+
+
+def _weights(cfg: LoraConfig, kt: int) -> np.ndarray:
+    """bf16 [2N, nkt * 8 * kt] in the kernel's tile-grouped column order."""
+    n = cfg.num_samples
+    f = cfg.fft_size
+    k = cfg.bin_size
+    _, down = chirp_tables(cfg.sf, cfg.p)
+    v0 = down
+    v1 = down * kaiser_window(n, cfg.beta)
+    ns = np.arange(n)
+    nkt = k // kt
+    cols = np.zeros((2 * n, nkt * 8 * kt), np.float32)
+    for j in range(nkt):
+        for c, (v, base) in enumerate(
+                [(v0, 0), (v0, f - k), (v1, 0), (v1, f - k)]):
+            bins = np.arange(base + j * kt, base + (j + 1) * kt)
+            wc = np.exp(-2j * np.pi * np.outer(ns, bins) / f) * v[:, None]
+            re = wc.real.astype(np.float32)
+            im = wc.imag.astype(np.float32)
+            o = j * 8 * kt + 2 * c * kt
+            # y_re rows: [Wre; -Wim], y_im rows: [Wim; Wre].
+            cols[:n, o:o + kt] = re
+            cols[n:, o:o + kt] = -im
+            cols[:n, o + kt:o + 2 * kt] = im
+            cols[n:, o + kt:o + 2 * kt] = re
+    return jnp.asarray(cols).astype(jnp.bfloat16)
+
+
+def _kernel(x_ref, w_ref, fa_ref, faw_ref, hs_ref, *, kt):
+    y = jnp.dot(x_ref[:], w_ref[:],
+                preferred_element_type=jnp.float32)   # [ft, 8*kt]
+
+    def mag(c):
+        re = y[:, 2 * c * kt:(2 * c + 1) * kt]
+        im = y[:, (2 * c + 1) * kt:(2 * c + 2) * kt]
+        return jnp.sqrt(re * re + im * im)
+
+    m0, m1, m2, m3 = mag(0), mag(1), mag(2), mag(3)
+    fa_ref[:, :] = m0 + m1
+    hs_ref[:, :] = jnp.maximum(m0, m1)
+    faw_ref[:, :] = m2 + m3
+
+
+@lru_cache(maxsize=None)
+def make_direct_spectra(cfg: LoraConfig, num_frames: int,
+                        frame_tile: int = 256, k_tile: int = 0,
+                        interpret: bool = False):
+    """Jitted iq float32[T, 2] -> (fft_add, fft_add_w, h_single), each
+    [num_frames, K] — numerically the direct bf16 front-end
+    (ops/dechirp.pyramid_spectra at precision='bf16') with the epilogue
+    fused.  ``interpret=True`` runs on CPU (tests)."""
+    n = cfg.num_samples
+    k = cfg.bin_size
+    hop = n // _R
+    if k_tile <= 0:
+        # VMEM: weights block [2N, 8*kt] bf16 + y accum [ft, 8*kt] f32 +
+        # frame tiles + outputs, all double-buffered -> budget ~12 MB.
+        k_tile = 256 if n <= 1024 else 128
+    kt = min(k_tile, k)
+    assert k % kt == 0
+    ft = min(frame_tile, max(8, num_frames))
+    nft = -(-num_frames // ft)
+    fpad = nft * ft
+    nkt = k // kt
+    w_all = jnp.asarray(_weights(cfg, kt))
+
+    grid = (nkt, nft)    # frame axis innermost: weight block stays put
+    x_spec = pl.BlockSpec((ft, 2 * n), lambda j, i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((2 * n, 8 * kt), lambda j, i: (0, j),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ft, kt), lambda j, i: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        partial(_kernel, kt=kt),
+        grid=grid,
+        in_specs=[x_spec, w_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((fpad, k), jnp.float32)
+                        for _ in range(3)),
+        interpret=interpret,
+    )
+
+    def run(iq):
+        need = (fpad + _R - 1) * hop + hop
+        pad = max(need - iq.shape[0], 0)
+        x = jnp.pad(iq, ((0, pad), (0, 0)))
+        chunks = x[: (fpad + _R - 1) * hop].reshape(-1, hop, 2)
+        frames = jnp.stack(
+            [jax.lax.slice_in_dim(chunks, r, r + fpad, axis=0)
+             for r in range(_R)], axis=1).reshape(fpad, n, 2)
+        xp = jnp.concatenate([frames[..., 0], frames[..., 1]],
+                             axis=-1).astype(jnp.bfloat16)
+        fa, faw, hs = call(xp, w_all)
+        return fa[:num_frames], faw[:num_frames], hs[:num_frames]
+
+    return jax.jit(run)
