@@ -167,6 +167,10 @@ def main():
                     default="xla",
                     help="pyramid front-end formulation (ops/dechirp direct "
                          "matmul vs ops/overlap_dft chunk decomposition)")
+    ap.add_argument("--event-batch", type=int, default=8,
+                    help="north_star: windows per lattice/tracker batch "
+                         "(vmap lanes; larger amortizes the device "
+                         "tracker's sequential hop scan)")
     ap.add_argument("--tracker", choices=["host", "device"], default="host",
                     help="pyramid_gateway / north_star: peak tracking on "
                          "the host (native C++ bank, lattice fetched) or "
@@ -752,7 +756,8 @@ def bench_north_star(args):
                       precision=args.precision)
     gw = TriggeredPyramidGateway(base, channels, sfs=sfs,
                                  max_payload_len=16, backend=args.backend,
-                                 tracker=args.tracker)
+                                 tracker=args.tracker,
+                                 event_batch=args.event_batch)
 
     # Fixture: golden SF8 collision on every channel (both PDUs known
     # byte-exact) + one single packet at a per-channel round-robin SF.

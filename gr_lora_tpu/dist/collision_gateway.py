@@ -268,13 +268,33 @@ class TriggeredPyramidGateway:
         self._trim()
         return out
 
+    #: Bound on queued window batches: each holds its [eb, win, 2] slices
+    #: plus lattice outputs on-device until drained.
+    _MAX_INFLIGHT = 8
+
     def _process(self, final: bool) -> list[GatewayPacket]:
         end = self._base + self._ring.length
         out: list[GatewayPacket] = list(self.out_pending)
         self.out_pending = []
+        # Two-phase: launch every ready batch async (jax queues the device
+        # work), then drain — the first drain's sync overlaps the remaining
+        # batches' compute with host tracking/decode of earlier ones.
+        inflight: list = []
         for sf, st in self.sf_states.items():
             self._scan_new(st, end)
-            out += self._dispatch_ready(st, end, final)
+            win = self._win_samples(st)
+            ready = [(ch, pos) for ch, pos in st.pending
+                     if pos - st.lead + win <= end]
+            if not ready:
+                continue
+            st.pending = [e for e in st.pending if e not in ready]
+            for i in range(0, len(ready), self.event_batch):
+                inflight.append(self._launch_batch(
+                    st, ready[i:i + self.event_batch], win))
+                if len(inflight) > self._MAX_INFLIGHT:
+                    out += self._drain_batch(*inflight.pop(0))
+        for item in inflight:
+            out += self._drain_batch(*item)
         out.sort(key=lambda p: (p.channel, p.position))
         return out
 
@@ -310,23 +330,10 @@ class TriggeredPyramidGateway:
             st.dispatched = [(dc, d) for dc, d in st.dispatched
                              if d + st.suppress > st.next_scan - chunk]
 
-    def _dispatch_ready(self, st: _SFState, end: int,
-                        final: bool) -> list[GatewayPacket]:
-        win = self._win_samples(st)
-        ready = [(ch, pos) for ch, pos in st.pending
-                 if pos - st.lead + win <= end]
-        if not ready:
-            return []
-        st.pending = [e for e in st.pending if e not in ready]
-        out: list[GatewayPacket] = []
-        for i in range(0, len(ready), self.event_batch):
-            out += self._run_batch(st, ready[i:i + self.event_batch], win)
-        return out
-
-    def _run_batch(self, st: _SFState, events, win) -> list[GatewayPacket]:
+    def _launch_batch(self, st: _SFState, events, win):
+        """Gather the event windows on-device and queue the lattice (and,
+        in device mode, the fused tracker) — async, no sync here."""
         eb = self.event_batch
-        n = st.cfg.num_samples
-        hop = n // PYRAMID_OVERLAP_FACTOR
         # Window gather stays on-device: [eb, win, 2] HBM->HBM.  Unused
         # batch lanes re-read window 0 of channel 0 — _emit drops results
         # with i >= len(events), so their decodes are never surfaced.
@@ -339,9 +346,17 @@ class TriggeredPyramidGateway:
         t0 = time.perf_counter()
         slices = self._ring.gather(chs, los, win)
         self.dispatched_samples += len(events) * win
+        fn = self._device_window_fn(st) if self._device_mode \
+            else self._lattice(st)
+        outs = fn(slices)
+        self.wall["lattice"] += time.perf_counter() - t0
+        return st, events, outs
 
+    def _drain_batch(self, st: _SFState, events,
+                     outs) -> list[GatewayPacket]:
+        eb = self.event_batch
+        t0 = time.perf_counter()
         if self._device_mode:
-            outs = self._device_window_fn(st)(slices)
             cnt = np.asarray(jax.device_get(outs[0]))
             kmax = int(cnt.max())
             o_len = np.asarray(jax.device_get(outs[1][:, :kmax]))
@@ -357,8 +372,7 @@ class TriggeredPyramidGateway:
             t2 = time.perf_counter()
             return self._emit(st, events, results, t2)
 
-        bins, h, hs, valid = (np.asarray(x) for x in jax.device_get(
-            self._lattice(st)(slices)))
+        bins, h, hs, valid = (np.asarray(x) for x in jax.device_get(outs))
         t1 = time.perf_counter()
         self.wall["lattice"] += t1 - t0
 

@@ -134,8 +134,17 @@ def peak_lattice_fn(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
         interpret = jax.default_backend() != "tpu"
         return make_overlap_spectra(cfg, num_hops, interpret=interpret)(iq)
 
+    def spectra_direct(iq):
+        # Grid-pipelined bf16 MXU kernel (ops/pallas_direct): ~2x the XLA
+        # direct path at the ff=8 collision zoom (docs/BENCH.md r3).
+        # Always bf16 inputs / f32 accumulate regardless of cfg.precision.
+        from ..ops.pallas_direct import make_direct_spectra
+        interpret = jax.default_backend() != "tpu"
+        return make_direct_spectra(cfg, num_hops, interpret=interpret)(iq)
+
     spectra = {"xla": spectra_xla, "pallas": spectra_pallas,
-               "fast": spectra_fast, "fastp": spectra_fastp}[backend]
+               "fast": spectra_fast, "fastp": spectra_fastp,
+               "direct": spectra_direct}[backend]
 
     def run(iq):
         fft_add, fft_add_w, h_single = spectra(iq)

@@ -72,6 +72,30 @@ def test_direct_k_tiling_and_ragged_frames():
         assert np.max(np.abs(a - b)) < 5e-3 * scale, np.max(np.abs(a - b))
 
 
+def test_direct_lattice_backend_under_vmap():
+    """peak_lattice_fn(backend='direct') inside vmap (the gateway's event
+    batching) matches the xla lattice at bf16 on peak bins."""
+    from gr_lora_tpu.models.pyramid import peak_lattice_fn
+
+    cfg = CFG.replace(precision="bf16", threshold=5.0)
+    iq = _signal(cfg)
+    n = cfg.num_samples
+    hop = n // 8
+    nh = (iq.shape[0] - n) // hop
+    batch = np.stack([iq, np.roll(iq, 3 * hop, axis=0)])
+
+    import jax
+
+    ref = jax.jit(jax.vmap(peak_lattice_fn(cfg, nh, 8, "xla")))
+    got = jax.jit(jax.vmap(peak_lattice_fn(cfg, nh, 8, "direct")))
+    rb, rh, rhs, rv = (np.asarray(x) for x in ref(jnp.asarray(batch)))
+    gb, gh, ghs, gv = (np.asarray(x) for x in got(jnp.asarray(batch)))
+    # bf16 rounding can flip marginal threshold peaks; the overwhelming
+    # majority of (bin, valid) decisions must agree.
+    agree = (rv == gv) & ((rb == gb) | ~rv)
+    assert agree.mean() > 0.98, agree.mean()
+
+
 def test_direct_short_input_is_padded():
     """iq shorter than the padded frame span zero-fills, no wrap."""
     iq = _signal()
