@@ -167,6 +167,11 @@ def main():
                     default="xla",
                     help="pyramid front-end formulation (ops/dechirp direct "
                          "matmul vs ops/overlap_dft chunk decomposition)")
+    ap.add_argument("--scan-precision",
+                    choices=["highest", "default", "bf16"], default="bf16",
+                    help="north_star: MXU tier for the dense detection "
+                         "scan only (argmax + dominance gate tolerate "
+                         "bf16; the extraction lattice keeps --precision)")
     ap.add_argument("--event-batch", type=int, default=8,
                     help="north_star: windows per lattice/tracker batch "
                          "(vmap lanes; larger amortizes the device "
@@ -757,7 +762,8 @@ def bench_north_star(args):
     gw = TriggeredPyramidGateway(base, channels, sfs=sfs,
                                  max_payload_len=16, backend=args.backend,
                                  tracker=args.tracker,
-                                 event_batch=args.event_batch)
+                                 event_batch=args.event_batch,
+                                 scan_precision=args.scan_precision)
 
     # Fixture: golden SF8 collision on every channel (both PDUs known
     # byte-exact) + one single packet at a per-channel round-robin SF.

@@ -45,7 +45,52 @@ from ..pipeline.device_ring import DeviceRing
 from .pyramid_gateway import GatewayPacket
 from .triggered import make_preamble_scan
 
-_SCAN_CHUNK_WINDOWS = 256        # scan compile granularity (symbol windows)
+#: Scan compile granularity: each SF scans in chunks of about this many
+#: SAMPLES (rounded to whole symbol windows, floor below).  Sizing by
+#: samples — not a fixed window count — keeps small-SF chunks from
+#: degenerating into many tiny dispatches (SF7 at 256 windows was 64
+#: chunks per 1 Msample feed, each a synchronous tunnel round trip).
+_SCAN_CHUNK_SAMPLES = 1 << 20
+_SCAN_MIN_WINDOWS = 64
+
+
+def _pow2_bucket(x: int, cap: int) -> int:
+    """Smallest power of two >= x, clamped to [1, cap]."""
+    b = 1
+    while b < x:
+        b <<= 1
+    return min(b, cap)
+
+
+def _fetch_packets(outs):
+    """Fetch a device-tracker output pool in few round trips without
+    per-batch recompiles: live-region slices are shaped to power-of-two
+    BUCKETS, so only O(log^2) distinct slice programs ever compile (a
+    data-dependent [:, :kmax] would be a fresh program per value — ~0.7 s
+    each through the axon remote compiler), while the transfer stays
+    ~kmax*lmax, not the whole pool (the >=100x fetch-reduction claim of
+    the device-tracker mode).
+
+    outs = (count, len, pos, syms[..., O, S], *extras) batched on any
+    leading axes; returns np arrays (count, len, pos, syms, *extras).
+    """
+    import jax
+
+    o = outs[3].shape[-2]
+    s = outs[3].shape[-1]
+    cnt, *extras = (np.asarray(x)
+                    for x in jax.device_get((outs[0],) + tuple(outs[4:])))
+    kmax = int(cnt.max()) if cnt.size else 0
+    if kmax == 0:
+        return (cnt, np.zeros(cnt.shape + (0,), np.int32),
+                np.zeros(cnt.shape + (0,), np.int32),
+                np.zeros(cnt.shape + (0, 0), np.int32), *extras)
+    kb = _pow2_bucket(kmax, o)
+    o_len, o_pos = (np.asarray(x) for x in jax.device_get(
+        (outs[1][..., :kb], outs[2][..., :kb])))
+    lb = _pow2_bucket(int(o_len.max()), s)
+    o_syms = np.asarray(jax.device_get(outs[3][..., :kb, :lb]))
+    return (cnt, o_len, o_pos, o_syms, *extras)
 
 
 @dataclass
@@ -56,6 +101,7 @@ class _SFState:
     lead: int                    # samples before the trigger in the window
     suppress: int                # new events this close after a dispatched
                                  # one are covered by its window already
+    scan_windows: int = 256      # symbol windows per scan chunk
     next_scan: int = 0           # abs sample index of next unscanned window
     dispatched: list = field(default_factory=list)   # (ch, abs pos) triggers
     pending: list = field(default_factory=list)      # (ch, abs_pos) events
@@ -81,7 +127,8 @@ class TriggeredPyramidGateway:
                  scan_fft_factor: int = 2, grace: int = 0,
                  backend: str = "xla", use_native: bool | None = None,
                  decode_payloads: bool = True, bw: float = 125e3,
-                 tracker: str = "host", scan_precision: str | None = None):
+                 tracker: str = "host", scan_precision: str | None = None,
+                 scan_chunk_samples: int = _SCAN_CHUNK_SAMPLES):
         self.channels = channels
         self.max_events = max_events
         self.event_batch = event_batch
@@ -132,7 +179,9 @@ class TriggeredPyramidGateway:
                 cfg=cfg,
                 scan_cfg=cfg.replace(fft_factor=scan_fft_factor,
                                      precision=scan_precision),
-                win_hops=win_hops, lead=lead, suppress=span)
+                win_hops=win_hops, lead=lead, suppress=span,
+                scan_windows=max(_SCAN_MIN_WINDOWS,
+                                 scan_chunk_samples // n))
 
         # Samples live in HBM (pipeline/device_ring): the window lead is
         # pre-filled zero history so every dispatched window offset is
@@ -140,7 +189,7 @@ class TriggeredPyramidGateway:
         # identical to the host-buffer formulation.
         history = max(st.lead for st in self.sf_states.values())
         hint = max(
-            (_SCAN_CHUNK_WINDOWS + REQUIRED_PREAMBLE_CHIRPS + 2)
+            (st.scan_windows + REQUIRED_PREAMBLE_CHIRPS + 2)
             * st.cfg.num_samples + self._win_samples(st) + st.lead
             for st in self.sf_states.values())
         self._ring = DeviceRing(channels, hint + history, history=history)
@@ -176,7 +225,7 @@ class TriggeredPyramidGateway:
         key = st.cfg.sf
         if key not in self._scan_fns:
             self._scan_fns[key] = make_preamble_scan(
-                st.scan_cfg, _SCAN_CHUNK_WINDOWS, self.max_events,
+                st.scan_cfg, st.scan_windows, self.max_events,
                 self.snr_gate)
         return self._scan_fns[key]
 
@@ -261,7 +310,7 @@ class TriggeredPyramidGateway:
     def flush(self) -> list[GatewayPacket]:
         """Zero-pad so every pending window and scan chunk completes."""
         pad = max((self._win_samples(st) + st.lead
-                   + (_SCAN_CHUNK_WINDOWS + 1) * st.cfg.num_samples
+                   + (st.scan_windows + 1) * st.cfg.num_samples
                    for st in self.sf_states.values()), default=0)
         self._ring.append(jnp.zeros((self.channels, pad, 2), jnp.float32))
         out = self._process(final=True)
@@ -276,12 +325,24 @@ class TriggeredPyramidGateway:
         end = self._base + self._ring.length
         out: list[GatewayPacket] = list(self.out_pending)
         self.out_pending = []
-        # Two-phase: launch every ready batch async (jax queues the device
-        # work), then drain — the first drain's sync overlaps the remaining
-        # batches' compute with host tracking/decode of earlier ones.
+        # Three-phase: (a) launch EVERY SF's scan chunks async and fetch
+        # the (tiny) detection results in ONE device_get — a synchronous
+        # fetch per chunk per SF would pay a tunnel round trip each
+        # (~100 ms on axon), which dominated the north-star scan wall;
+        # (b) launch every ready lattice batch async; (c) drain — the
+        # first drain's sync overlaps the remaining batches' compute with
+        # host tracking/decode of earlier ones.
+        t0 = time.perf_counter()
+        launched = []                        # (st, chunk_start, outs)
+        for st in self.sf_states.values():
+            launched += self._scan_launch(st, end)
+        if launched:
+            fetched = jax.device_get([o for _, _, o in launched])
+            self.wall["scan"] += time.perf_counter() - t0
+            for (st, start, _), res in zip(launched, fetched):
+                self._scan_collect(st, start, res)
         inflight: list = []
         for sf, st in self.sf_states.items():
-            self._scan_new(st, end)
             win = self._win_samples(st)
             ready = [(ch, pos) for ch, pos in st.pending
                      if pos - st.lead + win <= end]
@@ -293,42 +354,59 @@ class TriggeredPyramidGateway:
                     st, ready[i:i + self.event_batch], win))
                 if len(inflight) > self._MAX_INFLIGHT:
                     out += self._drain_batch(*inflight.pop(0))
-        for item in inflight:
-            out += self._drain_batch(*item)
+        # Host-tracker drains fetch ALL queued batches in one device_get
+        # (one tunnel round trip instead of one per batch); device-tracker
+        # drains stay per-batch — their fetch is two tiny data-dependent
+        # bucket slices each (_fetch_packets).
+        if inflight and not self._device_mode:
+            t0 = time.perf_counter()
+            fetched = jax.device_get([o for _, _, o in inflight])
+            self.wall["lattice"] += time.perf_counter() - t0
+            for (st, events, _), res in zip(inflight, fetched):
+                out += self._track_fetched(st, events, res)
+        else:
+            for item in inflight:
+                out += self._drain_batch(*item)
         out.sort(key=lambda p: (p.channel, p.position))
         return out
 
-    def _scan_new(self, st: _SFState, end: int):
-        """Run the preamble scan over every complete chunk of new windows;
+    def _scan_launch(self, st: _SFState, end: int) -> list:
+        """Queue the preamble scan over every complete chunk of new windows
+        (async — results fetched by the caller in one batched device_get);
         chunks overlap by the preamble run length so a preamble straddling
         a chunk boundary is still detected (events dedupe by position)."""
         n = st.cfg.num_samples
-        chunk = _SCAN_CHUNK_WINDOWS * n
+        chunk = st.scan_windows * n
         overlap_w = REQUIRED_PREAMBLE_CHIRPS + 2
+        launched = []
         while st.next_scan + chunk <= end:
             lo = st.next_scan - self._base
-            t0 = time.perf_counter()
             seg = self._ring.slice(lo, chunk)
-            starts, valid, nhits = (np.asarray(x) for x in jax.device_get(
-                self._scan(st)(seg)))
-            self.wall["scan"] += time.perf_counter() - t0
+            launched.append((st, st.next_scan, self._scan(st)(seg)))
             self.scanned_samples += self.channels * chunk
-            self.dropped_events += int(
-                np.sum(np.maximum(nhits - self.max_events, 0)))
-            for ch in range(self.channels):
-                for e in np.sort(starts[ch][valid[ch]]):
-                    pos = st.next_scan + int(e) * n
-                    # Covered by an already-dispatched window on THIS
-                    # channel, or a repeat detection from the chunk overlap?
-                    if any(dc == ch and d - 2 * n <= pos < d + st.suppress
-                           for dc, d in st.dispatched) or \
-                       any(c == ch and p == pos for c, p in st.pending):
-                        continue
-                    st.pending.append((ch, pos))
             st.next_scan += chunk - overlap_w * n
-            # Drop dispatch history that can no longer suppress anything.
-            st.dispatched = [(dc, d) for dc, d in st.dispatched
-                             if d + st.suppress > st.next_scan - chunk]
+        return launched
+
+    def _scan_collect(self, st: _SFState, chunk_start: int, res):
+        """Turn one fetched scan-chunk result into pending events."""
+        n = st.cfg.num_samples
+        starts, valid, nhits = (np.asarray(x) for x in res)
+        self.dropped_events += int(
+            np.sum(np.maximum(nhits - self.max_events, 0)))
+        for ch in map(int, np.nonzero(valid.any(axis=1))[0]):
+            for e in np.sort(starts[ch][valid[ch]]):
+                pos = chunk_start + int(e) * n
+                # Covered by an already-dispatched window on THIS
+                # channel, or a repeat detection from the chunk overlap?
+                if any(dc == ch and d - 2 * n <= pos < d + st.suppress
+                       for dc, d in st.dispatched) or \
+                   any(c == ch and p == pos for c, p in st.pending):
+                    continue
+                st.pending.append((ch, pos))
+        # Drop dispatch history that can no longer suppress anything.
+        chunk = st.scan_windows * n
+        st.dispatched = [(dc, d) for dc, d in st.dispatched
+                         if d + st.suppress > st.next_scan - chunk]
 
     def _launch_batch(self, st: _SFState, events, win):
         """Gather the event windows on-device and queue the lattice (and,
@@ -357,14 +435,8 @@ class TriggeredPyramidGateway:
         eb = self.event_batch
         t0 = time.perf_counter()
         if self._device_mode:
-            cnt = np.asarray(jax.device_get(outs[0]))
-            kmax = int(cnt.max())
-            o_len = np.asarray(jax.device_get(outs[1][:, :kmax]))
-            lmax = int(o_len.max()) if o_len.size else 0
-            o_pos = np.asarray(jax.device_get(outs[2][:, :kmax]))
-            o_syms = np.asarray(jax.device_get(outs[3][:, :kmax, :lmax]))
-            self.device_deviations += int(np.sum(
-                np.asarray(jax.device_get(outs[4]))))
+            cnt, o_len, o_pos, o_syms, dev = _fetch_packets(outs)
+            self.device_deviations += int(np.sum(dev))
             self.wall["lattice"] += time.perf_counter() - t0
             results = [(i, int(o_pos[i, j]),
                         o_syms[i, j, :o_len[i, j]].astype(np.uint16))
@@ -372,9 +444,16 @@ class TriggeredPyramidGateway:
             t2 = time.perf_counter()
             return self._emit(st, events, results, t2)
 
-        bins, h, hs, valid = (np.asarray(x) for x in jax.device_get(outs))
+        res = jax.device_get(outs)
+        self.wall["lattice"] += time.perf_counter() - t0
+        return self._track_fetched(st, events, res)
+
+    def _track_fetched(self, st: _SFState, events,
+                       res) -> list[GatewayPacket]:
+        """Host-track one already-fetched lattice batch result."""
+        eb = self.event_batch
         t1 = time.perf_counter()
-        self.wall["lattice"] += t1 - t0
+        bins, h, hs, valid = (np.asarray(x) for x in res)
 
         # Fresh tracker bank per batch (windows are self-contained); the
         # flush is host-only empty hops — no device work.

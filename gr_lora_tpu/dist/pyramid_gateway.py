@@ -397,15 +397,11 @@ class PyramidGateway:
             self.wall["fetch"] += time.perf_counter() - t0
             return []
         self._dev_states, outs = self._dev_pop(self._dev_states)
-        # Fetch only the live region: counts + lengths first (tiny), then
-        # the symbol pool sliced to [*, max_count, max_len] — the device
-        # keeps the rest.
-        cnt = np.asarray(jax.device_get(outs[0]))
-        kmax = int(cnt.max())
-        o_len = np.asarray(jax.device_get(outs[1][:, :kmax]))
-        lmax = int(o_len.max()) if o_len.size else 0
-        o_pos = np.asarray(jax.device_get(outs[2][:, :kmax]))
-        o_syms = np.asarray(jax.device_get(outs[3][:, :kmax, :lmax]))
+        # Live-region fetch in power-of-two buckets: tiny transfer AND a
+        # bounded set of slice programs (see collision_gateway._fetch_packets
+        # on the per-shape remote-compile trap).
+        from .collision_gateway import _fetch_packets
+        cnt, o_len, o_pos, o_syms = _fetch_packets(outs)
         self.fetched_bytes += cnt.nbytes + o_len.nbytes + o_pos.nbytes \
             + o_syms.nbytes
         self.wall["fetch"] += time.perf_counter() - t0

@@ -36,18 +36,24 @@ def _golden_collision(cfg):
     return out
 
 
-@pytest.mark.parametrize("use_native,tracker",
-                         [(True, "host"), (False, "host"),
-                          (False, "device")])
-def test_triggered_pyramid_gateway(use_native, tracker):
+@pytest.mark.parametrize("use_native,tracker,scan_precision",
+                         [(True, "host", None), (False, "host", None),
+                          (False, "device", "bf16")])
+def test_triggered_pyramid_gateway(use_native, tracker, scan_precision):
+    """The (False, 'device', 'bf16') case is the north-star bench
+    configuration: on-device tracking + bf16 detection scan."""
     if use_native:
         from gr_lora_tpu import native
         if not native.available():
             pytest.skip("native library unavailable")
     channels = 3
+    # Small scan chunks: CPU-mesh test streams are short; the production
+    # default (1 Msample chunks) would spend the test scanning flush pad.
     gw = TriggeredPyramidGateway(BASE, channels, sfs=(7, 8, 9),
                                  max_payload_len=16,
-                                 use_native=use_native, tracker=tracker)
+                                 use_native=use_native, tracker=tracker,
+                                 scan_precision=scan_precision,
+                                 scan_chunk_samples=1 << 16)
 
     coll = _golden_collision(gw.sf_states[8].cfg)
     cfg9 = gw.sf_states[9].cfg
@@ -106,7 +112,8 @@ def test_cotimed_channels_not_suppressed():
     every channel."""
     channels = 2
     gw = TriggeredPyramidGateway(BASE, channels, sfs=(8,),
-                                 max_payload_len=16)
+                                 max_payload_len=16,
+                                 scan_chunk_samples=1 << 16)
     coll = _golden_collision(gw.sf_states[8].cfg)
     total = 150_000
     iq = np.zeros((channels, total), np.complex64)
