@@ -161,7 +161,9 @@ def main():
                          "pyramid_gateway multi-SF)")
     ap.add_argument("--trials", type=int, default=None,
                     help="per mode: trials per (sf, snr) point")
-    ap.add_argument("--channels", type=int, default=16)
+    ap.add_argument("--channels", type=int, default=None,
+                    help="channel count (default: 64 for north_star — the "
+                         "BASELINE.md configuration — else 16)")
     ap.add_argument("--backend",
                     choices=["xla", "fast", "pallas", "fastp", "direct"],
                     default="xla",
@@ -186,6 +188,9 @@ def main():
     import jax
 
     from gr_lora_tpu import LoraConfig
+
+    if args.channels is None:
+        args.channels = 64 if args.mode == "north_star" else 16
 
     cfg = LoraConfig(sf=args.sf, cr=1, crc=True, ldr=False,
                      explicit_header=False, payload_len=6,
@@ -753,7 +758,7 @@ def bench_north_star(args):
     from gr_lora_tpu.ops.cplx import to_ri
 
     sfs = tuple(int(s) for s in (args.sfs or "7,8,9,10,11,12").split(","))
-    channels = args.channels if args.channels != 16 else 64
+    channels = args.channels
     T = 1 << (17 if args.quick else 20)     # air window per iteration
     iters = args.iters or (1 if args.quick else 4)
     base = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
@@ -801,11 +806,11 @@ def bench_north_star(args):
     # visible for host-fed runs.
     ri = jax.device_put(to_ri(iq))
 
-    # Warm-up must reach EVERY SF's scan chunk + window dispatch: large-SF
-    # scan chunks span multiple feeds (SF12: 256 windows x 8192 samples >
-    # T), so a single warm feed would leave their compiles inside the timed
-    # region (the r2 bench artifact).  Feed until every SF has scanned and
-    # dispatched at least once.
+    # Warm-up: compile every (SF, batch-bucket) program up front (the axon
+    # remote compiler costs ~10-20 s per SF12-class shape), then feed until
+    # every SF has scanned and dispatched at least once so the streaming
+    # cadence (scan chunk boundaries, ring state) is warm too.
+    gw.warmup()
     pkts = 0
     for _ in range(8):
         pkts += len(gw.feed(ri))
@@ -826,8 +831,14 @@ def bench_north_star(args):
     print(json.dumps({
         "metric": "north_star_gateway_throughput",
         "value": round(sps, 1),
-        "unit": "samples/s (64ch x SF7-12, gated collision decoding)",
+        "unit": f"samples/s ({channels}ch x SF{'/'.join(map(str, sfs))}, "
+                "gated collision decoding)",
         "vs_baseline": round(per_ch, 2),
+        # The fixture crosses the host link once; iterations re-feed the
+        # device-resident copy (the production pinned-buffer path — see the
+        # comment above and tools/tunnel_probe.py).  Host-fed runs surface
+        # the link cost in wall['ingest'].
+        "ingest": "device-resident",
     }))
     dev = jax.devices()[0]
     other = dt - sum(w.values())

@@ -216,6 +216,43 @@ class TriggeredPyramidGateway:
         return prev
 
     # -- plumbing ---------------------------------------------------------
+    def _bucket(self, events: list) -> list:
+        """Split events into batches: full event_batch chunks, then ONE
+        power-of-two bucket for the remainder — unused vmap lanes re-run
+        the whole lattice window, so padding 3 events to 8 lanes is 62 %
+        wasted MXU time (the r3 north-star bench padded ~45 % of its
+        SF9-12 lane-samples).  Power-of-two buckets keep the compiled-
+        shape set O(log eb); ``warmup()`` pre-compiles all of them."""
+        out = []
+        i = 0
+        while len(events) - i >= self.event_batch:
+            out.append(events[i:i + self.event_batch])
+            i += self.event_batch
+        rest = events[i:]
+        if rest:
+            out.append(rest)
+        return out
+
+    def warmup(self) -> None:
+        """Compile every (SF, batch-bucket) lattice/tracker program and
+        every scan on zero input, so first real traffic (or a bench's
+        timed region) never hits the compiler.  Through the axon remote
+        compiler a single SF12 lattice shape costs ~10-20 s to build —
+        production gateways pay this at boot, not on the first packet."""
+        for st in self.sf_states.values():
+            self._scan(st)(jnp.zeros(
+                (self.channels, st.scan_windows * st.cfg.num_samples, 2),
+                jnp.float32))
+            win = self._win_samples(st)
+            fn = (self._device_window_fn(st) if self._device_mode
+                  else self._lattice(st))
+            eb = 1
+            outs = []
+            while eb <= self.event_batch:
+                outs.append(fn(jnp.zeros((eb, win, 2), jnp.float32)))
+                eb <<= 1
+            jax.device_get(jax.tree.map(lambda x: x[0], outs))
+
     def _win_samples(self, st: _SFState) -> int:
         n = st.cfg.num_samples
         hop = n // PYRAMID_OVERLAP_FACTOR
@@ -349,9 +386,8 @@ class TriggeredPyramidGateway:
             if not ready:
                 continue
             st.pending = [e for e in st.pending if e not in ready]
-            for i in range(0, len(ready), self.event_batch):
-                inflight.append(self._launch_batch(
-                    st, ready[i:i + self.event_batch], win))
+            for batch in self._bucket(ready):
+                inflight.append(self._launch_batch(st, batch, win))
                 if len(inflight) > self._MAX_INFLIGHT:
                     out += self._drain_batch(*inflight.pop(0))
         # Host-tracker drains fetch ALL queued batches in one device_get
@@ -410,8 +446,10 @@ class TriggeredPyramidGateway:
 
     def _launch_batch(self, st: _SFState, events, win):
         """Gather the event windows on-device and queue the lattice (and,
-        in device mode, the fused tracker) — async, no sync here."""
-        eb = self.event_batch
+        in device mode, the fused tracker) — async, no sync here.  The
+        vmap lane count is the power-of-two bucket of len(events), not a
+        fixed event_batch (see _bucket)."""
+        eb = _pow2_bucket(len(events), self.event_batch)
         # Window gather stays on-device: [eb, win, 2] HBM->HBM.  Unused
         # batch lanes re-read window 0 of channel 0 — _emit drops results
         # with i >= len(events), so their decodes are never surfaced.
@@ -432,7 +470,6 @@ class TriggeredPyramidGateway:
 
     def _drain_batch(self, st: _SFState, events,
                      outs) -> list[GatewayPacket]:
-        eb = self.event_batch
         t0 = time.perf_counter()
         if self._device_mode:
             cnt, o_len, o_pos, o_syms, dev = _fetch_packets(outs)
@@ -440,7 +477,8 @@ class TriggeredPyramidGateway:
             self.wall["lattice"] += time.perf_counter() - t0
             results = [(i, int(o_pos[i, j]),
                         o_syms[i, j, :o_len[i, j]].astype(np.uint16))
-                       for i in range(eb) for j in range(int(cnt[i]))]
+                       for i in range(cnt.shape[0])
+                       for j in range(int(cnt[i]))]
             t2 = time.perf_counter()
             return self._emit(st, events, results, t2)
 
@@ -451,9 +489,9 @@ class TriggeredPyramidGateway:
     def _track_fetched(self, st: _SFState, events,
                        res) -> list[GatewayPacket]:
         """Host-track one already-fetched lattice batch result."""
-        eb = self.event_batch
         t1 = time.perf_counter()
         bins, h, hs, valid = (np.asarray(x) for x in res)
+        eb = bins.shape[0]
 
         # Fresh tracker bank per batch (windows are self-contained); the
         # flush is host-only empty hops — no device work.

@@ -147,3 +147,157 @@ def make_direct_spectra(cfg: LoraConfig, num_frames: int,
         return fa[:num_frames], faw[:num_frames], hs[:num_frames]
 
     return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# Fused peak search: the dense spectra never leave VMEM (round 4).
+# ---------------------------------------------------------------------------
+
+def _weights_ext(cfg: LoraConfig, kt: int) -> np.ndarray:
+    """bf16 [nkt, 2N, 8 * (kt+2)] — like _weights, but each bin tile is
+    extended by ONE folded bin on each side so the strict cyclic local-max
+    test (pyramid_demod_impl.cc:229-235) is decidable inside the tile.
+    Tiles live on a leading axis (full-extent trailing dims keep Mosaic's
+    lane tiling happy — 8*(kt+2) is not a 128-multiple)."""
+    n = cfg.num_samples
+    f = cfg.fft_size
+    k = cfg.bin_size
+    _, down = chirp_tables(cfg.sf, cfg.p)
+    v0 = down
+    v1 = down * kaiser_window(n, cfg.beta)
+    ns = np.arange(n)
+    nkt = k // kt
+    kte = kt + 2
+    cols = np.zeros((nkt, 2 * n, 8 * kte), np.float32)
+    for j in range(nkt):
+        folded = (np.arange(j * kt - 1, j * kt + kt + 1)) % k
+        for c, (v, base) in enumerate(
+                [(v0, 0), (v0, f - k), (v1, 0), (v1, f - k)]):
+            bins = base + folded
+            wc = np.exp(-2j * np.pi * np.outer(ns, bins) / f) * v[:, None]
+            o = 2 * c * kte
+            cols[j, :n, o:o + kte] = wc.real.astype(np.float32)
+            cols[j, n:, o:o + kte] = -wc.imag.astype(np.float32)
+            cols[j, :n, o + kte:o + 2 * kte] = wc.imag.astype(np.float32)
+            cols[j, n:, o + kte:o + 2 * kte] = wc.real.astype(np.float32)
+    return jnp.asarray(cols).astype(jnp.bfloat16)
+
+
+def _peaks_kernel(x_ref, w_ref, val_ref, bin_ref, h_ref, hs_ref, *,
+                  kt, max_peaks, threshold, k_total):
+    """One (bin tile, frame tile) grid cell: MXU dot + the whole pyramid
+    peak epilogue (magnitude, fold, local max, threshold, per-tile top-M)
+    while the accumulator is live in VMEM.  Only [ft, M] peak candidates
+    reach HBM — the [H, K] spectra never exist."""
+    kte = kt + 2
+    j = pl.program_id(0)
+    y = jnp.dot(x_ref[:], w_ref[0],
+                preferred_element_type=jnp.float32)   # [ft, 8*(kt+2)]
+
+    def mag(c):
+        re = y[:, 2 * c * kte:(2 * c + 1) * kte]
+        im = y[:, (2 * c + 1) * kte:(2 * c + 2) * kte]
+        return jnp.sqrt(re * re + im * im)
+
+    m0, m1, m2, m3 = mag(0), mag(1), mag(2), mag(3)
+    faw = m2 + m3                                    # [ft, kt+2]
+    fa_in = (m0 + m1)[:, 1:kt + 1]
+    hs_in = jnp.maximum(m0, m1)[:, 1:kt + 1]
+    ctr = faw[:, 1:kt + 1]
+    is_peak = ((ctr > threshold) & (ctr > faw[:, :kt])
+               & (ctr > faw[:, 2:kt + 2]))
+    work = jnp.where(is_peak, ctr, -jnp.inf)
+
+    ft = work.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (ft, kt), 1)
+    for m in range(max_peaks):
+        v = jnp.max(work, axis=-1)                   # [ft]
+        a = jnp.argmax(work, axis=-1).astype(jnp.int32)
+        sel = lanes == a[:, None]
+        val_ref[0, :, m] = v
+        bin_ref[0, :, m] = j * kt + a
+        h_ref[0, :, m] = jnp.sum(jnp.where(sel, fa_in, 0.0), axis=-1)
+        hs_ref[0, :, m] = jnp.sum(jnp.where(sel, hs_in, 0.0), axis=-1)
+        if m + 1 < max_peaks:
+            work = jnp.where(sel, -jnp.inf, work)
+
+
+@lru_cache(maxsize=None)
+def make_direct_peaks(cfg: LoraConfig, num_frames: int, max_peaks: int = 8,
+                      frame_tile: int = 256, k_tile: int = 0,
+                      interpret: bool = False):
+    """Jitted iq float32[T, 2] -> per-hop top-M pyramid peaks
+    (bins int32[H, M], h f32[H, M], h_single f32[H, M], valid bool[H, M])
+    — the full models/pyramid.peak_lattice_fn contract with the peak
+    search fused into the MXU kernel: local-max + threshold + per-tile
+    top-M run in the epilogue while the accumulator is live, and HBM sees
+    only bf16 frames in and ~nkt*M*16 B/hop of candidates out (vs 12*K
+    B/hop of dense spectra — 48-96x less at the collision zoom).  A tiny
+    XLA top-M over the per-tile candidates finishes the reduction
+    (exact: every tile emits up to max_peaks, so no global-top-M peak can
+    be dropped).  Reference epilogue: pyramid_demod_impl.cc:225-272."""
+    n = cfg.num_samples
+    k = cfg.bin_size
+    hop = n // _R
+    if k_tile <= 0:
+        k_tile = 256 if n <= 1024 else 128
+    kt = min(k_tile, k)
+    assert k % kt == 0
+    ft = min(frame_tile, max(8, num_frames))
+    nft = -(-num_frames // ft)
+    fpad = nft * ft
+    nkt = k // kt
+    kte = kt + 2
+    w_all = _weights_ext(cfg, kt)
+    threshold = float(cfg.threshold)
+
+    grid = (nkt, nft)    # frame axis innermost: weight block stays put
+    x_spec = pl.BlockSpec((ft, 2 * n), lambda j, i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 2 * n, 8 * kte), lambda j, i: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    # Candidates keyed [tile, frame, M]: full-extent last dim (M < 128
+    # lanes is fine when the block covers the whole dimension).
+    cand_spec = pl.BlockSpec((1, ft, max_peaks), lambda j, i: (j, i, 0),
+                             memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        partial(_peaks_kernel, kt=kt, max_peaks=max_peaks,
+                threshold=threshold, k_total=k),
+        grid=grid,
+        in_specs=[x_spec, w_spec],
+        out_specs=(cand_spec,) * 4,
+        out_shape=(
+            jax.ShapeDtypeStruct((nkt, fpad, max_peaks), jnp.float32),
+            jax.ShapeDtypeStruct((nkt, fpad, max_peaks), jnp.int32),
+            jax.ShapeDtypeStruct((nkt, fpad, max_peaks), jnp.float32),
+            jax.ShapeDtypeStruct((nkt, fpad, max_peaks), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+
+    def run(iq):
+        need = (fpad + _R - 1) * hop + hop
+        pad = max(need - iq.shape[0], 0)
+        x = jnp.pad(iq, ((0, pad), (0, 0)))
+        chunks = x[: (fpad + _R - 1) * hop].reshape(-1, hop, 2)
+        frames = jnp.stack(
+            [jax.lax.slice_in_dim(chunks, r, r + fpad, axis=0)
+             for r in range(_R)], axis=1).reshape(fpad, n, 2)
+        xp = jnp.concatenate([frames[..., 0], frames[..., 1]],
+                             axis=-1).astype(jnp.bfloat16)
+        outs = call(xp, w_all)
+        vals, bins, h, hs = (
+            jnp.moveaxis(o, 0, 1).reshape(fpad, nkt * max_peaks)
+            for o in outs)
+        if nkt > 1:
+            top_vals, sel = jax.lax.top_k(vals, max_peaks)
+            tk = partial(jnp.take_along_axis, indices=sel, axis=-1)
+            bins, h, hs = tk(bins), tk(h), tk(hs)
+        else:
+            top_vals = vals
+        valid = jnp.isfinite(top_vals)
+        return (bins[:num_frames].astype(jnp.int32), h[:num_frames],
+                hs[:num_frames], valid[:num_frames])
+
+    return run
