@@ -89,6 +89,12 @@ def make_step(cfg, num_frames: int, hop: int, backend: str = "xla"):
                                  interpret=jax.default_backend() != "tpu")
         return fn(iq)
 
+    if backend == "fused":
+        # In-kernel peak search: the step IS the product lattice — per-hop
+        # top-M peaks come back directly, nothing dense ever exists.
+        from gr_lora_tpu.models.pyramid import peak_lattice_fn
+        return jax.jit(peak_lattice_fn(cfg, num_frames, 8, "fused"))
+
     spectra = {"xla": spectra_xla, "fast": spectra_fast,
                "pallas": spectra_pallas, "fastp": spectra_fastp,
                "direct": spectra_direct}[backend]
@@ -165,10 +171,14 @@ def main():
                     help="channel count (default: 64 for north_star — the "
                          "BASELINE.md configuration — else 16)")
     ap.add_argument("--backend",
-                    choices=["xla", "fast", "pallas", "fastp", "direct"],
-                    default="xla",
+                    choices=["xla", "fast", "pallas", "fastp", "direct",
+                             "fused"],
+                    default=None,
                     help="pyramid front-end formulation (ops/dechirp direct "
-                         "matmul vs ops/overlap_dft chunk decomposition)")
+                         "matmul vs ops/overlap_dft chunk decomposition; "
+                         "'fused' = in-kernel peak search, spectra never "
+                         "reach HBM).  Default: fused for north_star, xla "
+                         "elsewhere")
     ap.add_argument("--scan-precision",
                     choices=["highest", "default", "bf16"], default="bf16",
                     help="north_star: MXU tier for the dense detection "
@@ -191,6 +201,8 @@ def main():
 
     if args.channels is None:
         args.channels = 64 if args.mode == "north_star" else 16
+    if args.backend is None:
+        args.backend = "fused" if args.mode == "north_star" else "xla"
 
     cfg = LoraConfig(sf=args.sf, cr=1, crc=True, ldr=False,
                      explicit_header=False, payload_len=6,

@@ -80,6 +80,23 @@ def peak_lattice_fn(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
     hop = n // PYRAMID_OVERLAP_FACTOR
     r = n // hop
 
+    if backend == "fused":
+        # In-kernel peak search (round 4): the dense spectra never reach
+        # HBM — only [H, M] peak tuples do.  Direct formulation for small
+        # frames (its frame inputs stream, so block_hops is moot);
+        # bin-tiled overlap formulation for large SF x fft_factor (falls
+        # through to the block wrapper below: the chunk spectra G are
+        # still materialized per block).  Off-TPU these run interpreted.
+        from ..ops.dft import _DIRECT_MAX_ELEMS
+        from ..ops.pallas_peaks import overlap_peaks_supported
+        interpret = jax.default_backend() != "tpu"
+        if n * 4 * cfg.bin_size <= _DIRECT_MAX_ELEMS:
+            from ..ops.pallas_direct import make_direct_peaks
+            return make_direct_peaks(cfg, num_hops, max_peaks,
+                                     interpret=interpret)
+        if not overlap_peaks_supported(cfg):
+            backend = "xla"     # dense spectra + XLA peak epilogue
+
     if block_hops is not None and num_hops > block_hops:
         inner = peak_lattice_fn(cfg, block_hops, max_peaks, backend)
         nb = -(-num_hops // block_hops)
@@ -100,6 +117,12 @@ def peak_lattice_fn(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
                 for o in outs)
 
         return run_blocked
+
+    if backend == "fused":
+        from ..ops.pallas_peaks import make_overlap_peaks
+        return make_overlap_peaks(
+            cfg, num_hops, max_peaks,
+            interpret=jax.default_backend() != "tpu")
 
     if backend == "xla":
         # The direct two-variant plan only exists below the matmul size
