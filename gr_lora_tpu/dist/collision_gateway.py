@@ -128,8 +128,44 @@ class TriggeredPyramidGateway:
                  backend: str = "xla", use_native: bool | None = None,
                  decode_payloads: bool = True, bw: float = 125e3,
                  tracker: str = "host", scan_precision: str | None = None,
-                 scan_chunk_samples: int = _SCAN_CHUNK_SAMPLES):
+                 scan_chunk_samples: int = _SCAN_CHUNK_SAMPLES,
+                 mesh=None):
         self.channels = channels
+        # -- mesh path (VERDICT r3 task 2): channels are sharded over the
+        # mesh's 'ch' axis — the sample ring and the dense scans partition
+        # with zero communication (channels are independent); dispatched
+        # event-window lattices spread their vmap lanes over 'ch' when the
+        # bucket divides, and their (tiny) peak outputs come back
+        # replicated so every process takes identical dispatch decisions
+        # (SPMD discipline) while emitting only the channels it OWNS (the
+        # process hosting the channel's first shard).  Windows are self-
+        # contained, so no time sharding is needed inside the gated path
+        # (time-block multihost lives in dist/pyramid_gateway).
+        self._mesh = mesh
+        self._rep = None
+        self._ring_sharding = None
+        self._lane_sharding = None
+        self._own_channels: set | None = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+            nch = mesh.shape.get("ch", 1)
+            if channels % nch:
+                raise ValueError(f"channels {channels} % ch-shards {nch}")
+            self._nch = nch
+            self._ring_sharding = NamedSharding(mesh, P("ch", None, None))
+            self._lane_sharding = NamedSharding(mesh, P("ch", None, None))
+            self._rep = NamedSharding(mesh, P())
+            me = jax.process_index()
+            ch_axis = mesh.axis_names.index("ch")
+            rows = np.moveaxis(np.asarray(mesh.devices), ch_axis, 0)
+            rows = rows.reshape(nch, -1)
+            cpr = channels // nch
+            own = set()
+            for i in range(nch):
+                if rows[i][0].process_index == me:
+                    own.update(range(i * cpr, (i + 1) * cpr))
+            self._own_channels = own
         self.max_events = max_events
         self.event_batch = event_batch
         self.snr_gate = snr_gate
@@ -192,7 +228,8 @@ class TriggeredPyramidGateway:
             (st.scan_windows + REQUIRED_PREAMBLE_CHIRPS + 2)
             * st.cfg.num_samples + self._win_samples(st) + st.lead
             for st in self.sf_states.values())
-        self._ring = DeviceRing(channels, hint + history, history=history)
+        self._ring = DeviceRing(channels, hint + history, history=history,
+                                sharding=self._ring_sharding)
         self._base = -history                # abs index of span offset 0
         self._scan_fns: dict = {}
         self._lattice_fns: dict = {}
@@ -240,16 +277,16 @@ class TriggeredPyramidGateway:
         compiler a single SF12 lattice shape costs ~10-20 s to build —
         production gateways pay this at boot, not on the first packet."""
         for st in self.sf_states.values():
-            self._scan(st)(jnp.zeros(
+            self._scan(st)(self._zeros(
                 (self.channels, st.scan_windows * st.cfg.num_samples, 2),
-                jnp.float32))
+                self._ring_sharding))
             win = self._win_samples(st)
             fn = (self._device_window_fn(st) if self._device_mode
                   else self._lattice(st))
             eb = 1
             outs = []
             while eb <= self.event_batch:
-                outs.append(fn(jnp.zeros((eb, win, 2), jnp.float32)))
+                outs.append(fn(self._zeros((eb, win, 2))))
                 eb <<= 1
             jax.device_get(jax.tree.map(lambda x: x[0], outs))
 
@@ -261,9 +298,14 @@ class TriggeredPyramidGateway:
     def _scan(self, st: _SFState):
         key = st.cfg.sf
         if key not in self._scan_fns:
-            self._scan_fns[key] = make_preamble_scan(
+            fn = make_preamble_scan(
                 st.scan_cfg, st.scan_windows, self.max_events,
                 self.snr_gate)
+            if self._mesh is not None:
+                # Replicated detections: every process fetches the same
+                # (tiny) result and takes identical dispatch decisions.
+                fn = jax.jit(fn, out_shardings=self._rep)
+            self._scan_fns[key] = fn
         return self._scan_fns[key]
 
     #: HBM budget for one dispatched lattice batch.  The dense per-hop
@@ -284,11 +326,32 @@ class TriggeredPyramidGateway:
     def _lattice(self, st: _SFState):
         key = st.cfg.sf
         if key not in self._lattice_fns:
+            from .pyramid_gateway import _pack_peaks
             run = peak_lattice_fn(st.cfg, st.win_hops, self.max_peaks,
                                   self.backend,
                                   block_hops=self._lattice_block_hops(st))
-            self._lattice_fns[key] = jax.jit(jax.vmap(run))
+
+            def packed(xs):
+                # 8 B/peak instead of 13 for the device->host fetch — the
+                # batch fetch is the small-SF wall through the axon tunnel
+                # (~810 KB/batch raw at eb=8, M=8).
+                xs = self._constrain_lanes(xs)
+                return _pack_peaks(jax.vmap(run)(xs))
+
+            self._lattice_fns[key] = jax.jit(
+                packed, out_shardings=self._rep) \
+                if self._mesh is not None else jax.jit(packed)
         return self._lattice_fns[key]
+
+    def _constrain_lanes(self, xs):
+        """Mesh: spread event-window vmap lanes over the 'ch' devices when
+        the bucket divides; small buckets replicate (idle shards cost
+        nothing extra — they would otherwise idle anyway)."""
+        if self._mesh is None:
+            return xs
+        s = self._lane_sharding if xs.shape[0] % self._nch == 0 \
+            else self._rep
+        return jax.lax.with_sharding_constraint(xs, s)
 
     def _device_window_fn(self, st: _SFState):
         """Fused window decoder for tracker='device': lattice + on-device
@@ -318,7 +381,12 @@ class TriggeredPyramidGateway:
                 return (state["o_count"], state["o_len"], state["o_pos"],
                         state["o_syms"], dev)
 
-            self._lattice_fns[key] = jax.jit(jax.vmap(one))
+            def batch(xs):
+                return jax.vmap(one)(self._constrain_lanes(xs))
+
+            self._lattice_fns[key] = jax.jit(
+                batch, out_shardings=self._rep) \
+                if self._mesh is not None else jax.jit(batch)
         return self._lattice_fns[key]
 
     # -- streaming --------------------------------------------------------
@@ -344,12 +412,20 @@ class TriggeredPyramidGateway:
         self._trim()
         return out
 
+    def _zeros(self, shape, sharding=None):
+        if self._mesh is None:
+            return jnp.zeros(shape, jnp.float32)
+        from functools import partial as _p
+        return jax.jit(_p(jnp.zeros, shape, jnp.float32),
+                       out_shardings=sharding or self._rep)()
+
     def flush(self) -> list[GatewayPacket]:
         """Zero-pad so every pending window and scan chunk completes."""
         pad = max((self._win_samples(st) + st.lead
                    + (st.scan_windows + 1) * st.cfg.num_samples
                    for st in self.sf_states.values()), default=0)
-        self._ring.append(jnp.zeros((self.channels, pad, 2), jnp.float32))
+        self._ring.append(self._zeros((self.channels, pad, 2),
+                                      self._ring_sharding))
         out = self._process(final=True)
         self._trim()
         return out
@@ -488,9 +564,10 @@ class TriggeredPyramidGateway:
 
     def _track_fetched(self, st: _SFState, events,
                        res) -> list[GatewayPacket]:
-        """Host-track one already-fetched lattice batch result."""
+        """Host-track one already-fetched (packed) lattice batch result."""
+        from .pyramid_gateway import _unpack_peaks
         t1 = time.perf_counter()
-        bins, h, hs, valid = (np.asarray(x) for x in res)
+        bins, h, hs, valid = _unpack_peaks(np.asarray(res))
         eb = bins.shape[0]
 
         # Fresh tracker bank per batch (windows are self-contained); the
@@ -532,6 +609,11 @@ class TriggeredPyramidGateway:
             if i >= len(events):
                 continue
             ch, pos = events[i]
+            # Mesh/multihost: every process tracks the replicated batch;
+            # only the channel's owner emits (and dedupes) its packets.
+            if self._own_channels is not None and \
+                    ch not in self._own_channels:
+                continue
             abs_pos = pos - st.lead + int(ts)
             # Cross-window dedupe: the same packet decodes in every window
             # that covers it; positions agree to within a couple symbols.

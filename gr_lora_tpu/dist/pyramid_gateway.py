@@ -200,16 +200,15 @@ class PyramidGateway:
         self._gather_t = gather_t
 
         if self._device_mode:
-            if self._mh:
-                raise NotImplementedError(
-                    "tracker='device' is single-process for now (the host "
-                    "tracker bank supports multi-host)")
             from ..models.device_tracker import make_channel_tracker_plan
             self._dev_init, self._dev_step, self._dev_pop = \
                 make_channel_tracker_plan(
                     cfg, block_hops, max_peaks, grace, backend, mesh=mesh,
                     **(device_pools or {}))
             self._dev_states = self._dev_init(channels)
+            if mesh is not None:
+                self._dev_in_sharding = NamedSharding(
+                    mesh, P("ch", "t", None))
         else:
             self._plan = _make_batched_lattice(
                 cfg, mesh, channels, block_hops // nt, max_peaks, backend,
@@ -310,19 +309,11 @@ class PyramidGateway:
     def _multihost(self) -> bool:
         return self._mh
 
-    def _dispatch(self, block: np.ndarray):
-        if self._device_mode:
-            if self._mesh is None:
-                self._dev_states, counts = self._dev_step(
-                    self._dev_states, jnp.asarray(block))
-            else:
-                own = np.ascontiguousarray(block[:, :self._block_len()])
-                tail = np.ascontiguousarray(block[:, self._block_len():])
-                self._dev_states, counts = self._dev_step(
-                    self._dev_states, own, tail)
-            return counts
-        if self._plan.in_sharding is None:
-            return self._plan.fn(jnp.asarray(block))
+    def _globalize(self, block: np.ndarray, in_sharding):
+        """Split one ingest block into (own, tail) global arrays for the
+        sharded lattice step, handling all three layouts: single-
+        controller, multi-host row-owned (process-local rows), and
+        multi-host gathered (full matrix on every process)."""
         own_np = np.ascontiguousarray(block[:, :self._block_len()])
         tail_np = np.ascontiguousarray(block[:, self._block_len():])
         if self._mh and self._gather_t:
@@ -331,21 +322,35 @@ class PyramidGateway:
             # once per addressable shard with its global index).
             own = jax.make_array_from_callback(
                 (self.channels, self._block_len(), 2),
-                self._plan.in_sharding, lambda idx: own_np[idx])
+                in_sharding, lambda idx: own_np[idx])
             tail = jax.make_array_from_callback(
                 (self.channels, self._halo, 2),
                 self._tail_sharding, lambda idx: tail_np[idx])
-            return self._plan.fn(own, tail)
+            return own, tail
         if self._mh:
             own = jax.make_array_from_process_local_data(
-                self._plan.in_sharding, own_np,
+                in_sharding, own_np,
                 (self.channels, self._block_len(), 2))
             tail = jax.make_array_from_process_local_data(
                 self._tail_sharding, tail_np,
                 (self.channels, self._halo, 2))
-            return self._plan.fn(own, tail)
-        own = jax.device_put(own_np, self._plan.in_sharding)
-        return self._plan.fn(own, tail_np)
+            return own, tail
+        return jax.device_put(own_np, in_sharding), tail_np
+
+    def _dispatch(self, block: np.ndarray):
+        if self._device_mode:
+            if self._mesh is None:
+                self._dev_states, counts = self._dev_step(
+                    self._dev_states, jnp.asarray(block))
+            else:
+                own, tail = self._globalize(block, self._dev_in_sharding)
+                self._dev_states, counts = self._dev_step(
+                    self._dev_states, own, tail)
+            return counts
+        if self._plan.in_sharding is None:
+            return self._plan.fn(jnp.asarray(block))
+        own, tail = self._globalize(block, self._plan.in_sharding)
+        return self._plan.fn(own, tail)
 
     def _fetch_local(self, packed):
         """Device -> host peaks for THIS process's channels ([C_local, H,
@@ -385,10 +390,31 @@ class PyramidGateway:
         self.wall["tracker"] += time.perf_counter() - t1
         return self._collect()
 
+    def _local_rows(self, arr) -> np.ndarray:
+        """Local channel rows [C_local, ...] of a P('ch', ...)-sharded
+        global array, from addressable shards only (multi-host; replicas
+        along any trailing mesh axes are transferred once)."""
+        out = np.zeros((self.local_channels,) + arr.shape[1:],
+                       dtype=arr.dtype)
+        seen = set()
+        for s in arr.addressable_shards:
+            sl = s.index[0] if isinstance(s.index, tuple) else s.index
+            lo = (sl.start or 0) - self._ch_offset
+            hi = (sl.stop if sl.stop is not None
+                  else arr.shape[0]) - self._ch_offset
+            if hi <= 0 or lo >= self.local_channels or (lo, hi) in seen:
+                continue
+            seen.add((lo, hi))
+            out[max(lo, 0):hi] = np.asarray(s.data)[max(lo, 0) - lo:hi - lo]
+        return out
+
     def _drain_device(self) -> list[GatewayPacket]:
         """Device-tracker drain: sync on the pipelined [C] packet counter
-        (4 B/channel — the ONLY per-block transfer) and pop finished
-        packets only when it is nonzero."""
+        (4 B/channel, replicated — the ONLY per-block transfer) and pop
+        finished packets only when it is nonzero.  The counter is global
+        on every process, so all controllers take the same pop decision
+        (SPMD discipline); the popped pools are then fetched per-process
+        from addressable shards only (~KB per owned channel)."""
         t0 = time.perf_counter()
         hint = np.asarray(jax.device_get(self._inflight))
         self._inflight = None
@@ -397,11 +423,15 @@ class PyramidGateway:
             self.wall["fetch"] += time.perf_counter() - t0
             return []
         self._dev_states, outs = self._dev_pop(self._dev_states)
-        # Live-region fetch in power-of-two buckets: tiny transfer AND a
-        # bounded set of slice programs (see collision_gateway._fetch_packets
-        # on the per-shape remote-compile trap).
-        from .collision_gateway import _fetch_packets
-        cnt, o_len, o_pos, o_syms = _fetch_packets(outs)
+        if self._mh:
+            cnt, o_len, o_pos, o_syms = (self._local_rows(a)
+                                         for a in outs)
+        else:
+            # Live-region fetch in power-of-two buckets: tiny transfer AND
+            # a bounded set of slice programs (see collision_gateway.
+            # _fetch_packets on the per-shape remote-compile trap).
+            from .collision_gateway import _fetch_packets
+            cnt, o_len, o_pos, o_syms = _fetch_packets(outs)
         self.fetched_bytes += cnt.nbytes + o_len.nbytes + o_pos.nbytes \
             + o_syms.nbytes
         self.wall["fetch"] += time.perf_counter() - t0
@@ -444,8 +474,14 @@ class PyramidGateway:
         if self._device_mode:
             from ..models.device_tracker import _DEVIATION_COUNTERS
             keys = _DEVIATION_COUNTERS + ("tracks_overflow_finalized",)
-            got = jax.device_get({k: self._dev_states[k] for k in keys})
-            s = {k: int(np.sum(v)) for k, v in got.items()}
+            if self._mh:
+                # Per-process stats over the channels this host owns.
+                s = {k: int(np.sum(self._local_rows(self._dev_states[k])))
+                     for k in keys}
+            else:
+                got = jax.device_get(
+                    {k: self._dev_states[k] for k in keys})
+                s = {k: int(np.sum(v)) for k, v in got.items()}
             s["deviations"] = sum(s[k] for k in _DEVIATION_COUNTERS)
             return s
         return self.trackers.stats()

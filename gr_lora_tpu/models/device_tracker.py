@@ -463,7 +463,12 @@ def make_channel_tracker_plan(cfg: LoraConfig, block_hops: int,
         full = tuple(jax.lax.all_gather(o, "t", axis=1, tiled=True)
                      for o in outs)        # [C/nch, H, M] — replicated walk
         states_local = jax.vmap(proc)(states_local, *full)
-        return states_local, states_local["o_count"]
+        # Counter hint replicated over 'ch' too: in multi-host every
+        # process must take the SAME pop decision (SPMD discipline), so
+        # each needs the GLOBAL counts, and they are 4 B/channel.
+        counts = jax.lax.all_gather(states_local["o_count"], "ch",
+                                    axis=0, tiled=True)
+        return states_local, counts
 
     st_spec = lambda leaf: P(*(("ch",) + (None,) * (leaf.ndim - 1)))
 
@@ -471,10 +476,15 @@ def make_channel_tracker_plan(cfg: LoraConfig, block_hops: int,
         return jax.tree.map(st_spec, states)
 
     def init(channels):
-        states = jax.vmap(lambda _: init1())(jnp.arange(channels))
-        return jax.tree.map(
-            lambda leaf: jax.device_put(
-                leaf, NamedSharding(mesh, st_spec(leaf))), states)
+        def build():
+            return jax.vmap(lambda _: init1())(jnp.arange(channels))
+
+        shardings = jax.tree.map(
+            lambda l: NamedSharding(mesh, st_spec(l)),
+            jax.eval_shape(build))
+        # jit-with-out_shardings creation is multi-controller safe (a
+        # host-built array could not be device_put across processes).
+        return jax.jit(build, out_shardings=shardings)()
 
     proto = jax.eval_shape(lambda: jax.vmap(lambda _: init1())(
         jnp.arange(mesh.shape.get("ch", 1))))
@@ -488,7 +498,7 @@ def make_channel_tracker_plan(cfg: LoraConfig, block_hops: int,
     inner = shmap(
         shard_body, mesh=mesh,
         in_specs=(sspec, P("ch", "t", None), P("ch", None, None)),
-        out_specs=(sspec, P("ch")),
+        out_specs=(sspec, P()),
     )
     pop_sharded = shmap(pop, mesh=mesh, in_specs=(sspec,),
                         out_specs=(sspec, ospec))

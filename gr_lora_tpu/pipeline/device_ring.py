@@ -41,6 +41,12 @@ def _compact(buf, shift):
     return jnp.roll(buf, -shift, axis=1)
 
 
+@partial(jax.jit, static_argnums=1)
+def _grow(buf, newcap):
+    # Pad along the time axis: sharding (if any) propagates from buf.
+    return jnp.pad(buf, ((0, 0), (0, newcap - buf.shape[1]), (0, 0)))
+
+
 @partial(jax.jit, static_argnums=2)
 def _slice(buf, start, size):
     return jax.lax.dynamic_slice(
@@ -67,16 +73,27 @@ class DeviceRing:
     """
 
     def __init__(self, channels: int, cap: int, history: int = 0,
-                 width: int = 2):
+                 width: int = 2, sharding=None):
         self.channels = channels
         self.width = width
         self.cap = max(1 << int(np.ceil(np.log2(max(cap, 1024)))), 1024)
-        self._buf = jnp.zeros((channels, self.cap, width), jnp.float32)
+        #: Optional NamedSharding (P('ch', None, None)): the buffer — and
+        #: every append/slice/gather — is channel-sharded over the mesh.
+        #: Multi-controller safe: the buffer is created inside jit and all
+        #: ops run on global arrays.
+        self._sharding = sharding
+        self._buf = self._zeros((channels, self.cap, width))
         self._off = 0              # ring coord of live-span start
         self.length = history      # live span length (incl. zero history)
         #: Host->device bytes actually moved by :meth:`append` (device-
         #: resident inputs are copied HBM->HBM and do not count).
         self.ingest_bytes = 0
+
+    def _zeros(self, shape):
+        if self._sharding is None:
+            return jnp.zeros(shape, jnp.float32)
+        return jax.jit(partial(jnp.zeros, shape, jnp.float32),
+                       out_shardings=self._sharding)()
 
     def _ensure(self, extra: int):
         need = self.length + extra
@@ -85,20 +102,28 @@ class DeviceRing:
             if self._off:
                 self._buf = _compact(self._buf, self._off)
                 self._off = 0
-            buf = jnp.zeros((self.channels, newcap, self.width), jnp.float32)
-            self._buf = jax.lax.dynamic_update_slice(buf, self._buf,
-                                                     (0, 0, 0))
+            self._buf = _grow(self._buf, newcap)
             self.cap = newcap
         elif self._off + need > self.cap:         # compact in place
             self._buf = _compact(self._buf, self._off)
             self._off = 0
 
     def append(self, chunk) -> None:
-        """chunk [C, L, width]: host ndarray (uploaded once) or device
-        array (HBM->HBM, no link traffic)."""
+        """chunk [C, L, width]: host ndarray (uploaded once; in the
+        sharded multi-controller layout every process passes the full
+        matrix and transfers only its own shards) or device array
+        (HBM->HBM, no link traffic)."""
         if isinstance(chunk, np.ndarray):
             self.ingest_bytes += chunk.nbytes
+            chunk = np.asarray(chunk, np.float32)
+            if self._sharding is not None:
+                chunk = jax.make_array_from_callback(
+                    chunk.shape, self._sharding,
+                    lambda idx, c=chunk: c[idx])
         chunk = jnp.asarray(chunk, jnp.float32)
+        if (self._sharding is not None and jax.process_count() == 1
+                and chunk.sharding != self._sharding):
+            chunk = jax.device_put(chunk, self._sharding)
         assert chunk.shape[0] == self.channels, chunk.shape
         lg = int(chunk.shape[1])
         self._ensure(lg)
@@ -115,7 +140,12 @@ class DeviceRing:
     def sync(self) -> None:
         """Block until pending appends have executed (tiny fetch; used to
         attribute upload time to the caller's ingest wall)."""
-        jax.device_get(self._buf[0, 0])
+        if self._sharding is not None:
+            # Shard [0, 0] may live on a remote process; a local barrier
+            # is what 'upload done' means here.
+            self._buf.block_until_ready()
+        else:
+            jax.device_get(self._buf[0, 0])
 
     def slice(self, lo: int, size: int):
         """Device [C, size, width] of span offsets [lo, lo+size)."""

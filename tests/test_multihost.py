@@ -109,6 +109,98 @@ def test_two_process_pyramid_gateway():
             assert 0 <= pos - r["base"] <= 40 * 512, r
 
 
+_DEV_WORKER = os.path.join(os.path.dirname(__file__),
+                           "multihost_device_tracker_worker.py")
+
+
+def test_two_process_device_tracker_gateway():
+    """tracker='device' across two processes (VERDICT r3 task 3): same
+    mesh/fixture as the host-tracker case, identical PDUs, and each
+    process's device->host fetch is packet-sized (the [C] counter + the
+    popped output pools), not lattice-sized."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, _DEV_WORKER, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=280)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        outs.append(json.loads(line))
+
+    pdu1 = "0630f0010203040506050801"
+    pdu2 = "053000" + "07" * 5 + "e76b01"
+    for r in outs:
+        mine = [(c, h) for c, h, _ in r["pdus"]]
+        assert all(c == r["pid"] for c, _ in mine), r
+        assert mine.count((r["pid"], pdu1)) == 1, r
+        assert mine.count((r["pid"], pdu2)) == 1, r
+        assert r["stats"]["deviations"] == 0, r
+        # The fetch is packets + counters, not peak lattices: the host-
+        # tracker layout moves ~block_hops*max_peaks*8 B per channel per
+        # block (hundreds of KB here); device mode stays under 64 KB.
+        assert r["fetched_bytes"] < 64 * 1024, r["fetched_bytes"]
+
+
+_TRIG_WORKER = os.path.join(os.path.dirname(__file__),
+                            "multihost_triggered_worker.py")
+
+
+def test_two_process_triggered_gateway():
+    """Detection-gated (north-star) gateway with channels split across two
+    processes (VERDICT r3 task 2): 8 channels sharded 'ch' over the
+    spanning mesh, the golden two-packet collision on every channel;
+    each process emits exactly its own channels' PDUs, and the union
+    covers every channel exactly once."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, _TRIG_WORKER, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=280)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+        outs.append(json.loads(line))
+
+    pdu1 = "0630f0010203040506050801"
+    pdu2 = "053000" + "07" * 5 + "e76b01"
+    seen = {}
+    for r in outs:
+        own = set(r["own"])
+        # Disjoint ownership; every emitted PDU is for an owned channel.
+        for c, h, pos in r["pdus"]:
+            assert c in own, r
+            seen.setdefault(c, []).append(h)
+            assert 0 <= pos - r["bases"][str(c)] <= 40 * 512, r
+    assert set(outs[0]["own"]).isdisjoint(outs[1]["own"])
+    channels = outs[0]["channels"]
+    assert set(seen) == set(range(channels)), seen
+    for c, hexes in seen.items():
+        assert sorted(hexes) == sorted([pdu1, pdu2]), (c, hexes)
+
+
 _PYR_T_WORKER = os.path.join(os.path.dirname(__file__),
                              "multihost_pyramid_time_worker.py")
 
