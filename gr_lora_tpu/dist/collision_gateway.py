@@ -129,7 +129,17 @@ class TriggeredPyramidGateway:
                  decode_payloads: bool = True, bw: float = 125e3,
                  tracker: str = "host", scan_precision: str | None = None,
                  scan_chunk_samples: int = _SCAN_CHUNK_SAMPLES,
-                 mesh=None):
+                 mesh=None, sic: bool = False):
+        #: Opt-in successive interference cancellation (VERDICT r3 task
+        #: 5): a dispatched window whose tracker output contains >= 1
+        #: cleanly-decoded packet is re-run through the subtract-and-
+        #: re-read loop (models/sic, dechirp-domain fast alignment), so
+        #: packets whose preamble was masked by a stronger collider — the
+        #: dominant envelope failure — are recovered INSIDE the gateway
+        #: path.  Costs one window fetch + O(packet) host work per
+        #: decoded window (wall['sic']); requires decode_payloads.
+        self._sic = sic
+        self.sic_windows = 0
         self.channels = channels
         # -- mesh path (VERDICT r3 task 2): channels are sharded over the
         # mesh's 'ch' axis — the sample ring and the dense scans partition
@@ -238,7 +248,7 @@ class TriggeredPyramidGateway:
         #: device-resident arrays); scan = dense detection (device);
         #: lattice = window dispatch+fetch; tracker / decode = host.
         self.wall = {"ingest": 0.0, "scan": 0.0, "lattice": 0.0,
-                     "tracker": 0.0, "decode": 0.0}
+                     "tracker": 0.0, "decode": 0.0, "sic": 0.0}
         #: Samples dispatched to the pyramid lattice (occupancy metric;
         #: includes window overlap) vs samples scanned.
         self.dispatched_samples = 0
@@ -472,10 +482,10 @@ class TriggeredPyramidGateway:
         # bucket slices each (_fetch_packets).
         if inflight and not self._device_mode:
             t0 = time.perf_counter()
-            fetched = jax.device_get([o for _, _, o in inflight])
+            fetched = jax.device_get([o for _, _, o, _ in inflight])
             self.wall["lattice"] += time.perf_counter() - t0
-            for (st, events, _), res in zip(inflight, fetched):
-                out += self._track_fetched(st, events, res)
+            for (st, events, _, sl), res in zip(inflight, fetched):
+                out += self._track_fetched(st, events, res, sl)
         else:
             for item in inflight:
                 out += self._drain_batch(*item)
@@ -542,10 +552,12 @@ class TriggeredPyramidGateway:
             else self._lattice(st)
         outs = fn(slices)
         self.wall["lattice"] += time.perf_counter() - t0
-        return st, events, outs
+        # SIC needs the window samples again after decode; keep the device
+        # slices alive with the batch (freed when the batch drains).
+        return st, events, outs, (slices if self._sic else None)
 
-    def _drain_batch(self, st: _SFState, events,
-                     outs) -> list[GatewayPacket]:
+    def _drain_batch(self, st: _SFState, events, outs,
+                     slices=None) -> list[GatewayPacket]:
         t0 = time.perf_counter()
         if self._device_mode:
             cnt, o_len, o_pos, o_syms, dev = _fetch_packets(outs)
@@ -555,15 +567,52 @@ class TriggeredPyramidGateway:
                         o_syms[i, j, :o_len[i, j]].astype(np.uint16))
                        for i in range(cnt.shape[0])
                        for j in range(int(cnt[i]))]
+            results = self._maybe_sic(st, events, results, slices)
             t2 = time.perf_counter()
             return self._emit(st, events, results, t2)
 
         res = jax.device_get(outs)
         self.wall["lattice"] += time.perf_counter() - t0
-        return self._track_fetched(st, events, res)
+        return self._track_fetched(st, events, res, slices)
 
-    def _track_fetched(self, st: _SFState, events,
-                       res) -> list[GatewayPacket]:
+    def _maybe_sic(self, st: _SFState, events, results, slices):
+        """Re-run decoded windows through subtract-and-re-read (module
+        ``sic`` flag).  A lane with >= 1 cleanly-decoded packet has its
+        window fetched once and its results REPLACED by the SIC output
+        (pass 0 reproduces the tracker's packets; later passes add the
+        masked ones) — see models/sic.sic_demodulate."""
+        if not self._sic or slices is None or not self._decode:
+            return results
+        from ..models.sic import sic_demodulate
+        t0 = time.perf_counter()
+        by_lane: dict[int, list] = {}
+        for i, ts, syms in results:
+            by_lane.setdefault(i, []).append((ts, syms))
+        new = []
+        for i in range(len(events)):
+            lane = by_lane.get(i, [])
+            # Any tracked packet qualifies the window: a clean one may be
+            # masking a preamble-less collider (the 66/66 envelope case),
+            # an unclean one is exactly what subtract-and-re-read repairs
+            # (_refine re-reads it with the others cancelled).  Empty
+            # lanes — the common noise-triggered window — stay free.
+            if not lane:
+                continue
+            win_ri = np.asarray(jax.device_get(slices[i]))
+            wiq = (win_ri[..., 0] + 1j * win_ri[..., 1]
+                   ).astype(np.complex64)
+            pkts = sic_demodulate(
+                wiq, st.cfg, max_peaks=self.max_peaks,
+                backend=self.backend, grace=self.grace, fast_align=True,
+                lattice_block_hops=self._lattice_block_hops(st))
+            self.sic_windows += 1
+            new += [(i, int(q.position),
+                     np.asarray(q.symbols, np.uint16)) for q in pkts]
+        self.wall["sic"] += time.perf_counter() - t0
+        return new
+
+    def _track_fetched(self, st: _SFState, events, res,
+                       slices=None) -> list[GatewayPacket]:
         """Host-track one already-fetched (packed) lattice batch result."""
         from .pyramid_gateway import _unpack_peaks
         t1 = time.perf_counter()
@@ -599,7 +648,8 @@ class TriggeredPyramidGateway:
                             zip(tr.positions_out, tr.symbols_out)]
         t2 = time.perf_counter()
         self.wall["tracker"] += t2 - t1
-        return self._emit(st, events, results, t2)
+        results = self._maybe_sic(st, events, results, slices)
+        return self._emit(st, events, results, time.perf_counter())
 
     def _emit(self, st: _SFState, events, results,
               t2: float) -> list[GatewayPacket]:
@@ -661,4 +711,5 @@ class TriggeredPyramidGateway:
             "pending_events": sum(len(st.pending)
                                   for st in self.sf_states.values()),
             "device_deviations": self.device_deviations,
+            "sic_windows": self.sic_windows,
         }

@@ -53,15 +53,21 @@ class SicPacket:
 
 
 def _demod_pass(iq_ri: np.ndarray, cfg: LoraConfig, max_peaks: int,
-                backend: str, grace: int, use_native: bool):
+                backend: str, grace: int, use_native: bool,
+                lattice_block_hops: int | None = None):
     """One Pyramid pass -> [(preamble_ts, symbols)] (models/pyramid.py
     pyramid_demodulate, with positions kept)."""
     import jax
 
+    from .pyramid import peak_lattice_fn
+
     nh = num_hops_for(cfg, iq_ri.shape[0])
     if nh == 0:
         return []
-    lattice = make_peak_lattice(cfg, nh, max_peaks, backend)
+    lattice = make_peak_lattice(cfg, nh, max_peaks, backend) \
+        if lattice_block_hops is None else \
+        jax.jit(peak_lattice_fn(cfg, nh, max_peaks, backend,
+                                block_hops=lattice_block_hops))
     bins, h, hs, valid = (np.asarray(x) for x in
                           jax.device_get(lattice(iq_ri)))
     if use_native:
@@ -163,14 +169,90 @@ def _align(residual: np.ndarray, tmpl: np.ndarray, cfg: LoraConfig,
     return lo + int(np.argmax(np.abs(c)))
 
 
+def _align_fast(residual: np.ndarray, tmpl: np.ndarray, cfg: LoraConfig,
+                pre_ts: int) -> int | None:
+    """Dechirp-domain timing fix: O(symbol) instead of the O(search x
+    head) brute correlation of ``_align`` (which is ~1.6 G MACs per
+    packet at SF12 — unusable at gateway rates).  Classic LoRa sync: for
+    a trial origin s0, an up-dechirped preamble window peaks at bin
+    u = eps + tau*ff/p and an SFD down-dechirped window at
+    d = eps - tau*ff/p (eps = CFO, tau = timing error), so
+    tau = (u - d)/2 * p/ff samples with 1/ff-chip resolution (1/4 sample
+    at the collision zoom).  Round 1 folds the up-peak alone (CFO-free
+    fixtures put eps ~ 0) to bring a +-2-symbol hint inside the SFD
+    capture range; round 2 applies the CFO-immune (u - d)/2 fix; a final
+    3-point template-dot check picks the exact integer sample.  Returns
+    None when any window leaves the buffer or the final candidates score
+    zero — the caller falls back to the exhaustive ``_align``.
+
+    The zoom-DFT peaks run through ops/dechirp (on TPU: two tiny MXU
+    matmuls; the reference has no cancellation stage at all,
+    lib/pyramid_demod_impl.cc:393-473)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dechirp import down_peak, up_peak
+
+    n = cfg.num_samples
+    k = cfg.bin_size
+    hint = pre_ts - 7 * n
+    if hint < -2 * n and hint + TIMESTAMP_MOD < residual.shape[0]:
+        hint += TIMESTAMP_MOD
+
+    def tone(kind, s):
+        """Signed peak bin of one dechirped window, in 1/ff-chip units."""
+        if s < 0 or s + n > residual.shape[0]:
+            return None
+        w = jnp.asarray(to_ri(np.ascontiguousarray(residual[s:s + n])))
+        idx, _ = jax.device_get(
+            (up_peak if kind == "up" else down_peak)(w, cfg))
+        b = int(idx)
+        return b - k if b > k // 2 else b
+
+    s = hint
+    u = tone("up", s + 2 * n)                   # mid-preamble upchirp
+    if u is None:
+        return None
+    tau = u * cfg.p / cfg.fft_factor            # eps ~ 0 coarse fix
+    if abs(tau) > n:
+        return None
+    s = int(round(s - tau))
+    u = tone("up", s + 2 * n)
+    d = tone("down", s + 10 * n + n // 2)       # inside the 2.25-sym SFD
+    if u is None or d is None:
+        return None
+    # The down window deliberately sits n/2 INTO the SFD downchirp, so
+    # d = eps - (tau + n/2)*ff/p: remove the half-symbol placement bias.
+    tau = ((u - d) * cfg.p / cfg.fft_factor - n / 2.0) / 2.0
+    if abs(tau) <= n // 4:
+        s = int(round(s - tau))
+    # Integer verification against the payload-independent preamble head.
+    # The dechirp fix resolves tau mod n only (the preamble is n-periodic)
+    # — the sync word + SFD in the head break that ambiguity, so the
+    # candidates include +-1 whole symbol.
+    head = tmpl[: (49 * n) // 4]
+    best, bs = 0.0, None
+    for c in (s - n - 1, s - n, s - n + 1, s - 1, s, s + 1,
+              s + n - 1, s + n, s + n + 1):
+        if c < 0 or c + len(head) > residual.shape[0]:
+            continue
+        sc = abs(np.vdot(head, residual[c:c + len(head)]))
+        if sc > best:
+            best, bs = sc, c
+    return bs
+
+
 def _subtract(residual: np.ndarray, syms: np.ndarray, cfg: LoraConfig,
               pre_ts: int, search: int | None = None,
-              start: int | None = None):
-    """Reconstruct the packet, align it (``_align``), LS-fit per-chunk
-    complex gains, subtract in place.  Returns (subtracted?, captured
-    energy fraction, start index, subtracted waveform or None)."""
+              start: int | None = None, fast_align: bool = False):
+    """Reconstruct the packet, align it (``_align`` / ``_align_fast``),
+    LS-fit per-chunk complex gains, subtract in place.  Returns
+    (subtracted?, captured energy fraction, start index, subtracted
+    waveform or None)."""
     n = cfg.num_samples
     tmpl = modulate(syms, cfg, pad_front=0, pad_back=0)
+    if start is None and fast_align:
+        start = _align_fast(residual, tmpl, cfg, pre_ts)
     if start is None:
         start = _align(residual, tmpl, cfg, pre_ts, search)
     if start is None or start + n > residual.shape[0]:
@@ -274,7 +356,8 @@ def _nsym_of(r, cfg: LoraConfig) -> int | None:
                         ldr=cfg.ldr, explicit_header=False)
 
 
-def _refine(residual: np.ndarray, cfg: LoraConfig, recs: list) -> bool:
+def _refine(residual: np.ndarray, cfg: LoraConfig, recs: list,
+            fast_align: bool = False) -> bool:
     """Second chance for every tracked-but-not-clean packet: with the
     OTHER packets already cancelled out of ``residual``, re-add this
     packet's own subtracted waveform and re-read its symbols by direct
@@ -305,7 +388,10 @@ def _refine(residual: np.ndarray, cfg: LoraConfig, recs: list) -> bool:
             guess = np.zeros(nsym, np.uint16)
             guess[:min(len(q.symbols), nsym)] = q.symbols[:nsym]
             tmpl = modulate(guess, cfg, pad_front=0, pad_back=0)
-            start = _align(residual, tmpl, cfg, q.position)
+            if fast_align:
+                start = _align_fast(residual, tmpl, cfg, q.position)
+            if start is None:
+                start = _align(residual, tmpl, cfg, q.position)
             rec["start"] = start
         if start is None:
             continue
@@ -342,7 +428,8 @@ def _refine(residual: np.ndarray, cfg: LoraConfig, recs: list) -> bool:
 def sic_demodulate(iq, cfg: LoraConfig, max_passes: int = 3,
                    max_peaks: int = 16, backend: str = "xla",
                    grace: int = 0, use_native: bool | None = None,
-                   refine: bool = True) -> list[SicPacket]:
+                   refine: bool = True, fast_align: bool = False,
+                   lattice_block_hops: int | None = None) -> list[SicPacket]:
     """IQ stream -> every recoverable colliding packet, with successive
     interference cancellation between Pyramid passes (module doc).
 
@@ -370,7 +457,7 @@ def sic_demodulate(iq, cfg: LoraConfig, max_passes: int = 3,
     for p in range(max_passes):
         iq_ri = np.ascontiguousarray(to_ri(residual))
         found = _demod_pass(iq_ri, cfg, max_peaks, backend, grace,
-                            use_native)
+                            use_native, lattice_block_hops)
         new = []
         for ts, syms in found:
             key = syms.tobytes()
@@ -383,15 +470,16 @@ def sic_demodulate(iq, cfg: LoraConfig, max_passes: int = 3,
             _, trimmed = _trim_to_packet(syms, cfg)
             sub, captured, start, own = (False, 0.0, None, None)
             if trimmed is not None and p + 1 < max_passes:
-                sub, captured, start, own = _subtract(residual, trimmed,
-                                                      cfg, ts)
+                sub, captured, start, own = _subtract(
+                    residual, trimmed, cfg, ts, fast_align=fast_align)
                 progressed = progressed or sub
             q = SicPacket(position=int(ts), symbols=syms, sic_pass=p,
                           subtracted=sub, captured=captured)
             out.append(q)
             recs.append({"entry": q, "start": start, "own": own})
         if refine:
-            progressed = _refine(residual, cfg, recs) or progressed
+            progressed = _refine(residual, cfg, recs,
+                                 fast_align=fast_align) or progressed
         if not progressed:
             break
     out.sort(key=lambda q: q.position)

@@ -183,12 +183,17 @@ def _weights_ext(cfg: LoraConfig, kt: int) -> np.ndarray:
     return jnp.asarray(cols).astype(jnp.bfloat16)
 
 
-def _peaks_kernel(x_ref, w_ref, val_ref, bin_ref, h_ref, hs_ref, *,
-                  kt, max_peaks, threshold, k_total):
+def _peaks_kernel(x_ref, w_ref, val_ref, bin_ref, h_ref, hs_ref, ws,
+                  *, kt, max_peaks, threshold, k_total):
     """One (bin tile, frame tile) grid cell: MXU dot + the whole pyramid
     peak epilogue (magnitude, fold, local max, threshold, per-tile top-M)
     while the accumulator is live in VMEM.  Only [ft, M] peak candidates
-    reach HBM — the [H, K] spectra never exist."""
+    reach HBM — the [H, K] spectra never exist.
+
+    The top-M loop iterates only while peaks remain (its cross-lane
+    max/argmax reductions cost ~3x the tile's matmul when run all M
+    times; at the reference collision threshold peaks are sparse, so
+    most cells run 0-1 iterations)."""
     kte = kt + 2
     j = pl.program_id(0)
     y = jnp.dot(x_ref[:], w_ref[0],
@@ -206,20 +211,28 @@ def _peaks_kernel(x_ref, w_ref, val_ref, bin_ref, h_ref, hs_ref, *,
     ctr = faw[:, 1:kt + 1]
     is_peak = ((ctr > threshold) & (ctr > faw[:, :kt])
                & (ctr > faw[:, 2:kt + 2]))
-    work = jnp.where(is_peak, ctr, -jnp.inf)
 
-    ft = work.shape[0]
+    ft = ctr.shape[0]
+    val_ref[0] = jnp.full((ft, max_peaks), -jnp.inf, jnp.float32)
+    bin_ref[0] = jnp.zeros((ft, max_peaks), jnp.int32)
+    h_ref[0] = jnp.zeros((ft, max_peaks), jnp.float32)
+    hs_ref[0] = jnp.zeros((ft, max_peaks), jnp.float32)
+    cnt = jnp.max(jnp.sum(is_peak.astype(jnp.int32), axis=-1))
+    ws[...] = jnp.where(is_peak, ctr, -jnp.inf)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (ft, kt), 1)
     for m in range(max_peaks):
-        v = jnp.max(work, axis=-1)                   # [ft]
-        a = jnp.argmax(work, axis=-1).astype(jnp.int32)
-        sel = lanes == a[:, None]
-        val_ref[0, :, m] = v
-        bin_ref[0, :, m] = j * kt + a
-        h_ref[0, :, m] = jnp.sum(jnp.where(sel, fa_in, 0.0), axis=-1)
-        hs_ref[0, :, m] = jnp.sum(jnp.where(sel, hs_in, 0.0), axis=-1)
-        if m + 1 < max_peaks:
-            work = jnp.where(sel, -jnp.inf, work)
+        @pl.when(m < cnt)
+        def _(m=m):
+            work = ws[...]
+            v = jnp.max(work, axis=-1)               # [ft]
+            a = jnp.argmax(work, axis=-1).astype(jnp.int32)
+            sel = lanes == a[:, None]
+            val_ref[0, :, m] = v
+            bin_ref[0, :, m] = j * kt + a
+            h_ref[0, :, m] = jnp.sum(jnp.where(sel, fa_in, 0.0), axis=-1)
+            hs_ref[0, :, m] = jnp.sum(jnp.where(sel, hs_in, 0.0), axis=-1)
+            if m + 1 < max_peaks:
+                ws[...] = jnp.where(sel, -jnp.inf, work)
 
 
 @lru_cache(maxsize=None)
@@ -273,6 +286,7 @@ def make_direct_peaks(cfg: LoraConfig, num_frames: int, max_peaks: int = 8,
             jax.ShapeDtypeStruct((nkt, fpad, max_peaks), jnp.float32),
             jax.ShapeDtypeStruct((nkt, fpad, max_peaks), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((ft, kt), jnp.float32)],
         interpret=interpret,
     )
 

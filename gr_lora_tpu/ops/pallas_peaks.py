@@ -72,7 +72,7 @@ def _kernel(*refs, th, bw, bt, w, s_grp, taps, max_peaks, threshold):
     nview = 23
     gv = refs[:2 * nview]
     unit_ref, scal_ref = refs[2 * nview:2 * nview + 2]
-    val_ref, bin_ref, h_ref, hs_ref = refs[2 * nview + 2:]
+    val_ref, bin_ref, h_ref, hs_ref, ws = refs[2 * nview + 2:]
     g = pl.program_id(0)
     btw = bt + 2
 
@@ -118,6 +118,10 @@ def _kernel(*refs, th, bw, bt, w, s_grp, taps, max_peaks, threshold):
         return jnp.sqrt(wr * wr + wi * wi)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (th, bt), 1)
+    val_ref[0] = jnp.full((th, 8 * max_peaks), -jnp.inf, jnp.float32)
+    bin_ref[0] = jnp.zeros((th, 8 * max_peaks), jnp.int32)
+    h_ref[0] = jnp.zeros((th, 8 * max_peaks), jnp.float32)
+    hs_ref[0] = jnp.zeros((th, 8 * max_peaks), jnp.float32)
     for m in range(8):
         xr, xi = x_side(m, 0)
         magw_lo = win_mag(xr, xi)
@@ -136,19 +140,27 @@ def _kernel(*refs, th, bw, bt, w, s_grp, taps, max_peaks, threshold):
         ctr = faw[:, 1:bt + 1]
         is_peak = ((ctr > threshold) & (ctr > faw[:, :bt])
                    & (ctr > faw[:, 2:bt + 2]))
-        work = jnp.where(is_peak, ctr, -jnp.inf)
+        # Early-exit top-M (see pallas_direct._peaks_kernel): iterate only
+        # while peaks remain — quiet tiles skip all the costly cross-lane
+        # reductions.
+        cnt = jnp.max(jnp.sum(is_peak.astype(jnp.int32), axis=-1))
+        ws[...] = jnp.where(is_peak, ctr, -jnp.inf)
         base = (g + m * s_grp) * bt
         for mm in range(max_peaks):
-            v = jnp.max(work, axis=-1)
-            a = jnp.argmax(work, axis=-1).astype(jnp.int32)
-            sel = lanes == a[:, None]
-            o = m * max_peaks + mm
-            val_ref[0, :, o] = v
-            bin_ref[0, :, o] = base + a
-            h_ref[0, :, o] = jnp.sum(jnp.where(sel, fa, 0.0), axis=-1)
-            hs_ref[0, :, o] = jnp.sum(jnp.where(sel, hs, 0.0), axis=-1)
-            if mm + 1 < max_peaks:
-                work = jnp.where(sel, -jnp.inf, work)
+            @pl.when(mm < cnt)
+            def _(m=m, mm=mm, fa=fa, hs=hs, base=base):
+                work = ws[...]
+                v = jnp.max(work, axis=-1)
+                a = jnp.argmax(work, axis=-1).astype(jnp.int32)
+                sel = lanes == a[:, None]
+                o = m * max_peaks + mm
+                val_ref[0, :, o] = v
+                bin_ref[0, :, o] = base + a
+                h_ref[0, :, o] = jnp.sum(jnp.where(sel, fa, 0.0), axis=-1)
+                hs_ref[0, :, o] = jnp.sum(jnp.where(sel, hs, 0.0),
+                                          axis=-1)
+                if mm + 1 < max_peaks:
+                    ws[...] = jnp.where(sel, -jnp.inf, work)
 
 
 @lru_cache(maxsize=None)
@@ -230,18 +242,22 @@ def make_overlap_peaks(cfg: LoraConfig, num_hops: int, max_peaks: int = 8,
             jax.ShapeDtypeStruct((s_grp, fpad, 8 * max_peaks), jnp.float32),
             jax.ShapeDtypeStruct((s_grp, fpad, 8 * max_peaks), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((th, bt), jnp.float32)],
         interpret=interpret,
     )
 
     unit_j = jnp.asarray(unit)
     scal_j = jnp.asarray(scal)
     # Bin gather index for the tiled G views: tile t covers DFT bins
-    # [t*BT - W, t*BT + BT + W) mod F, re lanes then im lanes.
+    # [t*BT - W, t*BT + BT + W) mod F, re lanes then im lanes.  Indices
+    # address the FREE [A, F, 2] -> [A, 2F] reshape (re of bin b at lane
+    # 2b, im at 2b+1): one gather replaces what a re/im pack concat would
+    # cost (a measured ~22 ms strided-transpose per SF12 block).
     bidx = np.empty((nbt, 2 * bw), np.int64)
     for t in range(nbt):
         bins = (t * bt - w + uu) % f
-        bidx[t, :bw] = bins
-        bidx[t, bw:] = f + bins
+        bidx[t, :bw] = 2 * bins
+        bidx[t, bw:] = 2 * bins + 1
     bidx_j = jnp.asarray(bidx.reshape(-1))
 
     def run(iq):
@@ -251,8 +267,8 @@ def make_overlap_peaks(cfg: LoraConfig, num_hops: int, max_peaks: int = 8,
         x = jnp.pad(iq, ((0, pad), (0, 0))) if pad > 0 else iq
         chunks = x[:need].reshape(nchunks, h, 2)
         gc, _ = plan.chunk_dft(chunks)                  # [nchunks, F, 2]
-        g2 = jnp.concatenate([gc[..., 0], gc[..., 1]], axis=-1)
-        g2 = jnp.pad(g2, ((0, a2 - nchunks), (0, 0)))
+        g2 = jnp.pad(gc, ((0, a2 - nchunks), (0, 0), (0, 0)))
+        g2 = g2.reshape(a2, 2 * f)       # row-major (bin, comp): free
         # f32 views, not bf16: the window convolution cancels the partial-
         # chirp splice ringing of the unwindowed spectrum by ~5 orders of
         # magnitude, and bf16-rounded inputs leave ~0.5 % residual ringing

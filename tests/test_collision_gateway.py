@@ -132,3 +132,38 @@ def test_cotimed_channels_not_suppressed():
     for c in range(channels):
         assert PDU1 in got.get(c, set()), (c, got)
         assert PDU2 in got.get(c, set()), (c, got)
+
+
+def test_sic_recovers_masked_preamble_in_gateway():
+    """TriggeredPyramidGateway(sic=True) — VERDICT r3 task 5: a weak
+    packet whose preamble is fully masked by a strong collider (the
+    hop-aligned, ratio-0.2 envelope point where the bare tracker fails)
+    is recovered INSIDE the gateway path by the subtract-and-re-read
+    pass; without sic the weak PDU is missing."""
+    cfg = BASE
+    n = cfg.num_samples
+    p1 = 0.2 * modulate(encode(bytes([1, 2, 3, 4, 5, 6]), cfg), cfg,
+                        pad_front=0, pad_back=0)
+    p2 = 0.2 * 0.2 * modulate(encode(bytes([7] * 5), cfg), cfg,
+                              pad_front=0, pad_back=0)
+    off2 = 16 * n                 # degenerate hop-aligned masking
+    total = off2 + len(p2) + 60 * n
+    iq = np.zeros((1, total), np.complex64)
+    iq[0, 5000:5000 + len(p1)] += p1
+    iq[0, 5000 + off2:5000 + off2 + len(p2)] += p2
+
+    def run(sic):
+        gw = TriggeredPyramidGateway(cfg, 1, sfs=(8,), max_payload_len=16,
+                                     scan_chunk_samples=1 << 16, sic=sic)
+        pkts = gw.feed(to_ri(iq)) + gw.flush()
+        pdus = {bytes(p.result.payload).hex() for p in pkts
+                if p.result is not None and p.result.ok}
+        return pdus, gw
+
+    plain, _ = run(False)
+    assert PDU1 in plain, plain
+    assert PDU2 not in plain, ("fixture not masking enough", plain)
+    with_sic, gw = run(True)
+    assert PDU1 in with_sic and PDU2 in with_sic, with_sic
+    assert gw.sic_windows >= 1 and gw.wall["sic"] > 0
+    assert gw.stats()["sic_windows"] == gw.sic_windows
