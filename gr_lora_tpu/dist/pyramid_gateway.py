@@ -254,6 +254,16 @@ class PyramidGateway:
         self._grace = grace
         #: Channel rows feed() expects: the full matrix in the gathered
         #: multi-host layout (ingest replicated), else this process's own.
+        #: Replicated ingest costs every process the full stream's host
+        #: bandwidth (64 ch x 2 x bw x 8 B ~ 128 MB/s at the north-star
+        #: config — trivial vs PCIe, redundant at pod scale).  DEVICE
+        #: transfer is already sharded (jax.make_array_from_callback
+        #: uploads only local shards); a pod-scale deployment that cannot
+        #: afford redundant host streams should feed the row-owned layout
+        #: (gather_t=False, time sharding off) or front a splitter that
+        #: unicasts each process its time slice — the gathered layout
+        #: exists for packets SPANNING time-shard seams, which only needs
+        #: the halo, not the body, replicated.
         self.ingest_channels = channels if (self._mh and gather_t) \
             else local_channels
         self._pending = np.zeros((self.ingest_channels, 0, 2), np.float32)

@@ -238,10 +238,21 @@ class PyramidTracker:
     grace=0 is exact reference behavior."""
 
     def __init__(self, cfg: LoraConfig, grace: int = 0,
-                 apex_algorithm: str = "segment"):
+                 apex_algorithm: str = "segment",
+                 split_repeats: bool = False):
         if apex_algorithm not in ("segment", "linear_regression"):
             raise ValueError(apex_algorithm)
         self.apex_algorithm = apex_algorithm
+        #: Beyond-reference (opt-in): m consecutive EQUAL symbols merge
+        #: into one (m+1)*overlaps-long track (the rotating bin frame
+        #: wraps exactly once per symbol), which the reference classifier
+        #: rejects as BROKEN — truncating the packet at the first empty
+        #: assembly window (pyramid_demod_impl.cc:332, :680-767; at SF7
+        #: ~17 % of random payloads contain an adjacent repeat).  With
+        #: split_repeats=True such a track is split at exact one-symbol
+        #: strides from its rising-edge apex and each segment is emitted
+        #: as a data symbol.  False = exact reference behavior.
+        self.split_repeats = split_repeats
         self.grace = grace
         self.cfg = cfg
         self.n = cfg.num_samples
@@ -289,13 +300,46 @@ class PyramidTracker:
         keep = []
         for tr in self.tracks:
             if len(tr.peaks) >= PYRAMID_MAX_TRACK_PEAKS:
-                st, pk = self._central_peak(tr)
-                if st in (_PREAMBLE, _DATA):
-                    self._add_symbol_to_packet(pk, st)
+                self._retire_track(tr)
                 self.tracks_overflow_finalized += 1
             else:
                 keep.append(tr)
         self.tracks = keep
+
+    def _retire_track(self, tr: _Track):
+        st, pk = self._central_peak(tr)
+        if self.split_repeats and st == _PREAMBLE and \
+                len(tr.peaks) < self.overlaps * (self.num_preamble + 1):
+            # A >= (num_preamble-1)-symbol repeat RUN aliases as a
+            # preamble (a real preamble IS a repeat run; the classifier
+            # threshold is :316's ov*(num_preamble-1)+2).  Disambiguate
+            # by packet phase: if the first split symbol ts/height-
+            # matches an EXISTING packet, the run is data belonging to
+            # it; a true (full-length ~ (num_preamble+2)*ov) preamble
+            # never takes this branch.
+            pks = self._split_repeat_track(
+                tr, max_ln=self.overlaps * (self.num_preamble + 1))
+            if pks and self._add_symbol_to_packet(pks[0], _DATA):
+                for pk2 in pks[1:]:
+                    self._add_symbol_to_packet(pk2, _DATA)
+                return
+        if self.split_repeats and st == _DATA and \
+                len(tr.peaks) > self.overlaps + 2:
+            # A double whose edge peak dropped below threshold lands at
+            # EXACTLY 2*ov and classifies as one data symbol; the
+            # ts-group split is self-validating (>= 2 plateau groups at
+            # distinct whole-symbol offsets — a single symbol's 0.5-sym
+            # fall skirt is gated out at 0.7*hmax), so try it first.
+            pks = self._split_repeat_track(tr, min_ln=self.overlaps + 2)
+            if len(pks) >= 2:
+                for pk2 in pks:
+                    self._add_symbol_to_packet(pk2, _DATA)
+                return
+        if st in (_PREAMBLE, _DATA):
+            self._add_symbol_to_packet(pk, st)
+        elif self.split_repeats:
+            for pk2 in self._split_repeat_track(tr):
+                self._add_symbol_to_packet(pk2, _DATA)
 
     def stats(self) -> dict:
         return {"tracks_dropped": self.tracks_dropped,
@@ -365,6 +409,49 @@ class PyramidTracker:
             return _DATA, self._apex(pk_list, is_preamble=False)
         return _BROKEN, None
 
+    def _split_repeat_track(self, track: _Track, max_ln=None,
+                            min_ln=None) -> list:
+        """Constructor doc (split_repeats): one merged m-repeat track ->
+        m data peaks at exact one-symbol strides.  The lattice bin frame
+        rotates k/overlaps per hop, so one symbol later both the frame
+        AND the repeated symbol's raw bin are back where they were: the
+        i-th segment's peak is the rising-edge apex displaced by i*n in
+        ts with the SAME raw bin, heights read off the track's plateau."""
+        pk_list = track.peaks
+        ln = len(pk_list)
+        ov = self.overlaps
+        cap = ov * (self.num_preamble - 1) + 2 if max_ln is None else max_ln
+        floor = 2 * ov if min_ln is None else min_ln
+        if ln <= floor or ln >= cap:
+            return []
+        # First index where the rising edge reaches the plateau (one
+        # symbol's track is ov+1 peaks — rise, apex, fall on the hop
+        # grid — and each ADJACENT repeat extends the plateau by ov;
+        # argmax would drift mid-plateau on noise).
+        hmax = max(p.h for p in pk_list)
+        apex_idx = next(i for i, p in enumerate(pk_list)
+                        if p.h >= 0.95 * hmax)
+        apex = pk_list[apex_idx]
+        # Group the RECORDED peaks by whole-symbol offset from the apex:
+        # a same-value symbol recurring after a gap (e.g. ..v, w, v, v..)
+        # merges into one track whose peak list is NOT hop-continuous, so
+        # stride indexing misaligns — ts grouping handles adjacent and
+        # gapped runs alike.  A symbol is emitted only where the group's
+        # best height reaches the plateau (the gap positions carry only
+        # partial-overlap skirts).
+        best: dict = {}
+        for p in pk_list:
+            rel = _pmod(p.ts - apex.ts, _TS_MOD)
+            if rel > _TS_MOD // 2:
+                continue                      # rising skirt before apex
+            g = int(round(rel / self.n))
+            if g not in best or p.h > best[g]:
+                best[g] = p.h
+        out = [_Peak(_pmod(apex.ts + g * self.n, _TS_MOD), apex.bin,
+                     float(hmax), float(apex.h_single))
+               for g in sorted(best) if best[g] >= 0.7 * hmax]
+        return out if len(out) >= 2 else []
+
     # -- ts-phase + height distance (get_dis :187-196) --
     def _get_dis(self, ts1, h1, ts2, h2):
         dis = _pmod(ts1 - ts2, self.n) / float(self.n)
@@ -415,9 +502,7 @@ class PyramidTracker:
                 tr.misses += 1
                 keep.append(tr)
                 continue
-            st, pk = self._central_peak(tr)
-            if st in (_PREAMBLE, _DATA):
-                self._add_symbol_to_packet(pk, st)
+            self._retire_track(tr)
         self.tracks = keep
 
     # -- TTL expiry + assembly (general_work :610-767) --
@@ -489,7 +574,8 @@ def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
                        flush: bool = True,
                        use_native: bool | None = None,
                        backend: str = "xla",
-                       grace: int = 0) -> list[np.ndarray]:
+                       grace: int = 0,
+                       split_repeats: bool = False) -> list[np.ndarray]:
     """IQ stream -> one uint16 symbol vector per (colliding) packet.
 
     Equivalent of wiring the reference pyramid_demod block over a file
@@ -497,6 +583,8 @@ def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
     core.codec.decode unchanged.  ``use_native`` selects the C++ tracker
     (default: whenever the native library is available — it is
     behavior-identical, see tests/test_native_pyramid.py).
+    ``split_repeats`` (opt-in, Python tracker) recovers payloads with
+    adjacent EQUAL symbols — see PyramidTracker.
     """
     if np.iscomplexobj(iq):
         iq = to_ri(np.asarray(iq))
@@ -509,12 +597,17 @@ def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
 
     if use_native is None:
         from .. import native as _native
-        use_native = _native.available()
+        use_native = _native.available() and not split_repeats
     if use_native:
+        if split_repeats:
+            raise NotImplementedError(
+                "split_repeats is Python/native-C++ tracker-divergent; "
+                "pass use_native=False (or None)")
         from .. import native as _native
         tracker = _native.PyramidTracker(cfg, grace=grace)
     else:
-        tracker = PyramidTracker(cfg, grace=grace)
+        tracker = PyramidTracker(cfg, grace=grace,
+                                 split_repeats=split_repeats)
 
     for t in range(nh):
         v = valid[t]

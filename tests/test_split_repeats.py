@@ -1,0 +1,135 @@
+"""Repeat-run track splitting (PyramidTracker(split_repeats=True)).
+
+Beyond-reference opt-in: m consecutive EQUAL symbols merge into one
+(m*overlaps+1)-long track because the lattice's rotating bin frame wraps
+exactly once per symbol; the reference classifier rejects such tracks as
+BROKEN (pyramid_demod_impl.cc:332 — data tracks <= 2*overlaps) or, at
+>= num_preamble-1 repeats, misreads them as a PREAMBLE (:316), and the
+assembly walk then truncates the packet at the first empty window
+(:680-767).  At SF7 ~17 % of random payloads contain an adjacent repeat.
+split_repeats=True splits the merged track at exact one-symbol strides
+(models/pyramid._split_repeat_track) and disambiguates repeat-runs from
+preambles by packet phase.  split_repeats=False remains exact reference
+behavior (tests/test_soak.py::test_repeated_symbol_is_a_pyramid_landmine
+documents the landmine).
+"""
+
+import numpy as np
+import pytest
+
+from gr_lora_tpu import LoraConfig
+from gr_lora_tpu.core.codec import decode, encode
+from gr_lora_tpu.models.modulator import modulate
+from gr_lora_tpu.models.pyramid import pyramid_demodulate
+
+
+def _cfg(sf):
+    return LoraConfig(sf=sf, cr=1, crc=True, ldr=(1 << sf) / 125e3 > 16e-3,
+                      explicit_header=True, payload_len=8, p=2,
+                      fft_factor=8, threshold=5.0)
+
+
+def _air(cfg, pay, seed=3, amp=0.2):
+    n = cfg.num_samples
+    tx = np.asarray(encode(pay, cfg))
+    wave = amp * modulate(tx, cfg, pad_front=0, pad_back=0)
+    rng = np.random.default_rng(seed)
+    T = 8 * n + len(wave) + 30 * n
+    iq = (0.003 * (rng.standard_normal(T) + 1j * rng.standard_normal(T))
+          ).astype(np.complex64)
+    iq[8 * n:8 * n + len(wave)] += wave
+    return iq, tx
+
+
+def _decoded(out, cfg, pay):
+    for s in out:
+        r = decode(s, cfg)
+        if r.ok and r.crc_ok and bytes(r.payload[3:3 + len(pay)]) == pay:
+            return True
+    return False
+
+
+# (sf, payload, repeat runs in the encoding): double, triple, a
+# num_preamble-1-length run that aliases as a preamble, and the golden
+# collision payloads at the SFs where their encodings carry repeats.
+_REPEAT_CASES = [
+    (8, bytes([7, 0xA0, 8, 1, 2, 3, 4, 5])),    # ..., 2, 2, ...
+    (7, bytes([1, 2, 3, 4, 5, 6])),             # 86,86 AND 1,1,1
+    (10, bytes([1, 2, 3, 4, 5, 6])),            # 1,1,1
+    (11, bytes([7] * 5)),                        # 1,1 tail
+]
+
+
+@pytest.mark.parametrize("sf,pay", _REPEAT_CASES)
+def test_repeat_run_recovered_with_split(sf, pay):
+    cfg = _cfg(sf)
+    iq, tx = _air(cfg, pay)
+    assert np.any(tx[1:] == tx[:-1]), "fixture must contain a repeat"
+    ref = pyramid_demodulate(iq, cfg, max_peaks=8, use_native=False)
+    assert not _decoded(ref, cfg, pay), \
+        "landmine no longer reproduces — retire this test pair"
+    out = pyramid_demodulate(iq, cfg, max_peaks=8, use_native=False,
+                             split_repeats=True)
+    assert _decoded(out, cfg, pay), [list(s) for s in out]
+
+
+def test_preamble_length_run_disambiguated():
+    """A 5-repeat run (ln >= ov*(num_preamble-1)+2) classifies as a
+    PREAMBLE under reference rules; with split_repeats the packet-phase
+    check consumes it as data instead."""
+    cfg = _cfg(12)
+    pay = bytes([1, 2, 3, 4, 5, 6])             # tx tail: 1,1,1,1,1
+    iq, tx = _air(cfg, pay)
+    runs = int(np.sum(tx[1:] == tx[:-1]))
+    assert runs >= 4, list(tx)
+    out = pyramid_demodulate(iq, cfg, max_peaks=8, use_native=False,
+                             split_repeats=True)
+    assert _decoded(out, cfg, pay), [list(s) for s in out]
+
+
+def test_no_repeat_payload_bit_identical():
+    """split_repeats must not perturb repeat-free packets: identical
+    symbol vectors with and without the flag."""
+    cfg = _cfg(9)
+    iq, tx = _air(cfg, bytes([0xDE, 0xAD, 0xBE, 0xEF]))
+    assert not np.any(tx[1:] == tx[:-1])
+    ref = pyramid_demodulate(iq, cfg, max_peaks=8, use_native=False)
+    out = pyramid_demodulate(iq, cfg, max_peaks=8, use_native=False,
+                             split_repeats=True)
+    assert len(ref) == len(out) == 1
+    assert np.array_equal(ref[0], out[0])
+
+
+def test_golden_collision_unaffected():
+    """The README two-packet collision still yields both PDUs byte-exact
+    with split_repeats on (real preambles keep spawning packets)."""
+    cfg = _cfg(8)
+    n = cfg.num_samples
+    p1 = 0.2 * modulate(encode(bytes([1, 2, 3, 4, 5, 6]), cfg), cfg,
+                        pad_front=0, pad_back=0)
+    p2 = 0.09 * modulate(encode(bytes([7] * 5), cfg), cfg,
+                         pad_front=0, pad_back=0)
+    off2 = 1000 + 16 * n + 4 * n // 8 + 204
+    iq = np.zeros(off2 + len(p2) + 30 * n, np.complex64)
+    iq[1000:1000 + len(p1)] += p1
+    iq[off2:off2 + len(p2)] += p2
+    out = pyramid_demodulate(iq, cfg, max_peaks=8, use_native=False,
+                             split_repeats=True)
+    pdus = sorted(bytes(decode(s, cfg).payload).hex() for s in out
+                  if decode(s, cfg).ok)
+    assert pdus == ["0530000707070707e76b01",
+                    "0630f0010203040506050801"], pdus
+
+
+def test_native_tracker_guard():
+    """The C++ tracker does not implement the split — an explicit
+    use_native=True with split_repeats must fail loudly, not silently
+    fall back to reference truncation."""
+    from gr_lora_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    cfg = _cfg(8)
+    iq, _ = _air(cfg, bytes([1, 2, 3, 4]))
+    with pytest.raises(NotImplementedError):
+        pyramid_demodulate(iq, cfg, max_peaks=8, use_native=True,
+                           split_repeats=True)
