@@ -129,7 +129,8 @@ class TriggeredPyramidGateway:
                  decode_payloads: bool = True, bw: float = 125e3,
                  tracker: str = "host", scan_precision: str | None = None,
                  scan_chunk_samples: int = _SCAN_CHUNK_SAMPLES,
-                 mesh=None, sic: bool = False):
+                 mesh=None, sic: bool = False,
+                 split_repeats: bool = False):
         #: Opt-in successive interference cancellation (VERDICT r3 task
         #: 5): a dispatched window whose tracker output contains >= 1
         #: cleanly-decoded packet is re-run through the subtract-and-
@@ -140,6 +141,14 @@ class TriggeredPyramidGateway:
         #: decoded window (wall['sic']); requires decode_payloads.
         self._sic = sic
         self.sic_windows = 0
+        #: Opt-in adjacent-equal-symbol recovery in the host trackers
+        #: (models/pyramid.PyramidTracker split_repeats; C++ twin in
+        #: native/src/pyramid_tracker.cc).  Not yet ported to the
+        #: on-device tracker.
+        self._split_repeats = split_repeats
+        if split_repeats and tracker == "device":
+            raise ValueError("split_repeats requires tracker='host' "
+                             "(device-tracker port pending)")
         self.channels = channels
         # -- mesh path (VERDICT r3 task 2): channels are sharded over the
         # mesh's 'ch' axis — the sample ring and the dense scans partition
@@ -604,7 +613,8 @@ class TriggeredPyramidGateway:
             pkts = sic_demodulate(
                 wiq, st.cfg, max_peaks=self.max_peaks,
                 backend=self.backend, grace=self.grace, fast_align=True,
-                lattice_block_hops=self._lattice_block_hops(st))
+                lattice_block_hops=self._lattice_block_hops(st),
+                split_repeats=self._split_repeats)
             self.sic_windows += 1
             new += [(i, int(q.position),
                      np.asarray(q.symbols, np.uint16)) for q in pkts]
@@ -625,7 +635,9 @@ class TriggeredPyramidGateway:
                       + self.grace)
         if self._native:
             from .. import native as _native
-            bank = _native.MultiPyramidTracker(st.cfg, eb, grace=self.grace)
+            bank = _native.MultiPyramidTracker(
+                st.cfg, eb, grace=self.grace,
+                split_repeats=self._split_repeats)
             bank.feed(bins, h, hs, valid)
             z = np.zeros((eb, flush_hops, self.max_peaks), np.float32)
             bank.feed(z.astype(np.int32), z, z, z.astype(bool))
@@ -633,7 +645,8 @@ class TriggeredPyramidGateway:
         else:
             results = []
             for i in range(eb):
-                tr = PyramidTracker(st.cfg, grace=self.grace)
+                tr = PyramidTracker(st.cfg, grace=self.grace,
+                                    split_repeats=self._split_repeats)
                 for t in range(st.win_hops):
                     v = valid[i, t]
                     if v.any():

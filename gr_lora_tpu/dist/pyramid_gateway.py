@@ -155,7 +155,14 @@ class PyramidGateway:
                  grace: int = 0, mesh: Mesh | None = None,
                  backend: str = "xla", use_native: bool | None = None,
                  decode_payloads: bool = True, tracker: str = "host",
-                 device_pools: dict | None = None):
+                 device_pools: dict | None = None,
+                 split_repeats: bool = False):
+        #: Opt-in adjacent-equal-symbol recovery (models/pyramid
+        #: split_repeats; host trackers only — device-tracker port
+        #: pending).
+        self._split_repeats = split_repeats
+        if split_repeats and tracker == "device":
+            raise ValueError("split_repeats requires tracker='host'")
         n = cfg.num_samples
         self.cfg = cfg
         self.channels = channels
@@ -248,9 +255,11 @@ class PyramidGateway:
             if self._native:
                 from .. import native as _native
                 self.trackers = _native.MultiPyramidTracker(
-                    cfg, local_channels, grace=grace)
+                    cfg, local_channels, grace=grace,
+                    split_repeats=split_repeats)
             else:
-                self.trackers = _PyTrackerBank(cfg, local_channels, grace)
+                self.trackers = _PyTrackerBank(cfg, local_channels, grace,
+                                               split_repeats)
         self._grace = grace
         #: Channel rows feed() expects: the full matrix in the gathered
         #: multi-host layout (ingest replicated), else this process's own.
@@ -522,7 +531,8 @@ class MultiSFPyramidGateway:
                  mesh: Mesh | None = None, backend: str = "xla",
                  use_native: bool | None = None,
                  decode_payloads: bool = True, bw: float = 125e3,
-                 tracker: str = "host", device_pools: dict | None = None):
+                 tracker: str = "host", device_pools: dict | None = None,
+                 split_repeats: bool = False):
         self.channels = channels
         self.gws: dict[int, PyramidGateway] = {}
         for sf in sfs:
@@ -533,7 +543,8 @@ class MultiSFPyramidGateway:
                 cfg, channels, block_hops=bh, max_peaks=max_peaks,
                 grace=grace, mesh=mesh, backend=backend,
                 use_native=use_native, decode_payloads=decode_payloads,
-                tracker=tracker, device_pools=device_pools)
+                tracker=tracker, device_pools=device_pools,
+                split_repeats=split_repeats)
 
     @property
     def fetched_bytes(self) -> int:
@@ -584,8 +595,10 @@ class MultiSFPyramidGateway:
 class _PyTrackerBank:
     """Pure-Python fallback with the MultiPyramidTracker surface."""
 
-    def __init__(self, cfg: LoraConfig, channels: int, grace: int):
-        self._banks = [PyramidTracker(cfg, grace=grace)
+    def __init__(self, cfg: LoraConfig, channels: int, grace: int,
+                 split_repeats: bool = False):
+        self._banks = [PyramidTracker(cfg, grace=grace,
+                                      split_repeats=split_repeats)
                        for _ in range(channels)]
         self._drained = [0] * channels
 

@@ -444,7 +444,10 @@ class PyramidTracker:
             rel = _pmod(p.ts - apex.ts, _TS_MOD)
             if rel > _TS_MOD // 2:
                 continue                      # rising skirt before apex
-            g = int(round(rel / self.n))
+            # Half-up (NOT banker's) rounding — keeps the C++ twin
+            # (native/src/pyramid_tracker.cc) bit-identical at the exact
+            # half-symbol skirt offsets.
+            g = int((rel + self.n // 2) // self.n)
             if g not in best or p.h > best[g]:
                 best[g] = p.h
         out = [_Peak(_pmod(apex.ts + g * self.n, _TS_MOD), apex.bin,
@@ -597,14 +600,11 @@ def pyramid_demodulate(iq, cfg: LoraConfig, max_peaks: int = 16,
 
     if use_native is None:
         from .. import native as _native
-        use_native = _native.available() and not split_repeats
+        use_native = _native.available()
     if use_native:
-        if split_repeats:
-            raise NotImplementedError(
-                "split_repeats is Python/native-C++ tracker-divergent; "
-                "pass use_native=False (or None)")
         from .. import native as _native
-        tracker = _native.PyramidTracker(cfg, grace=grace)
+        tracker = _native.PyramidTracker(cfg, grace=grace,
+                                         split_repeats=split_repeats)
     else:
         tracker = PyramidTracker(cfg, grace=grace,
                                  split_repeats=split_repeats)
@@ -633,7 +633,8 @@ class StreamingPyramidDemodulator:
 
     def __init__(self, cfg: LoraConfig, block_hops: int = 2048,
                  max_peaks: int = 16, grace: int = 0,
-                 use_native: bool | None = None, backend: str = "xla"):
+                 use_native: bool | None = None, backend: str = "xla",
+                 split_repeats: bool = False):
         self.cfg = cfg
         self.block_hops = block_hops
         self.max_peaks = max_peaks
@@ -646,9 +647,11 @@ class StreamingPyramidDemodulator:
         self._native = use_native
         if use_native:
             from .. import native as _native
-            self.tracker = _native.PyramidTracker(cfg, grace=grace)
+            self.tracker = _native.PyramidTracker(
+                cfg, grace=grace, split_repeats=split_repeats)
         else:
-            self.tracker = PyramidTracker(cfg, grace=grace)
+            self.tracker = PyramidTracker(cfg, grace=grace,
+                                          split_repeats=split_repeats)
         self._grace = grace
         self._pending = np.zeros((0, 2), np.float32)
         self._lattice = make_peak_lattice(cfg, block_hops, max_peaks, backend)

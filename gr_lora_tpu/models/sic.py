@@ -54,7 +54,8 @@ class SicPacket:
 
 def _demod_pass(iq_ri: np.ndarray, cfg: LoraConfig, max_peaks: int,
                 backend: str, grace: int, use_native: bool,
-                lattice_block_hops: int | None = None):
+                lattice_block_hops: int | None = None,
+                split_repeats: bool = False):
     """One Pyramid pass -> [(preamble_ts, symbols)] (models/pyramid.py
     pyramid_demodulate, with positions kept)."""
     import jax
@@ -72,9 +73,11 @@ def _demod_pass(iq_ri: np.ndarray, cfg: LoraConfig, max_peaks: int,
                           jax.device_get(lattice(iq_ri)))
     if use_native:
         from .. import native as _native
-        tracker = _native.PyramidTracker(cfg, grace=grace)
+        tracker = _native.PyramidTracker(cfg, grace=grace,
+                                         split_repeats=split_repeats)
     else:
-        tracker = PyramidTracker(cfg, grace=grace)
+        tracker = PyramidTracker(cfg, grace=grace,
+                                 split_repeats=split_repeats)
     for t in range(nh):
         v = valid[t]
         if v.any():
@@ -429,7 +432,8 @@ def sic_demodulate(iq, cfg: LoraConfig, max_passes: int = 3,
                    max_peaks: int = 16, backend: str = "xla",
                    grace: int = 0, use_native: bool | None = None,
                    refine: bool = True, fast_align: bool = False,
-                   lattice_block_hops: int | None = None) -> list[SicPacket]:
+                   lattice_block_hops: int | None = None,
+                   split_repeats: bool = False) -> list[SicPacket]:
     """IQ stream -> every recoverable colliding packet, with successive
     interference cancellation between Pyramid passes (module doc).
 
@@ -457,7 +461,7 @@ def sic_demodulate(iq, cfg: LoraConfig, max_passes: int = 3,
     for p in range(max_passes):
         iq_ri = np.ascontiguousarray(to_ri(residual))
         found = _demod_pass(iq_ri, cfg, max_peaks, backend, grace,
-                            use_native, lattice_block_hops)
+                            use_native, lattice_block_hops, split_repeats)
         new = []
         for ts, syms in found:
             key = syms.tobytes()

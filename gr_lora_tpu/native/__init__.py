@@ -82,7 +82,8 @@ def _load() -> ctypes.CDLL | None:
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.lora_pyramid_create.restype = ctypes.c_void_p
         lib.lora_pyramid_create.argtypes = ([ctypes.c_int32] * 4
-                                            + [ctypes.c_float, ctypes.c_int32])
+                                            + [ctypes.c_float]
+                                            + [ctypes.c_int32] * 2)
         lib.lora_pyramid_destroy.argtypes = [ctypes.c_void_p]
         lib.lora_pyramid_step.argtypes = [ctypes.c_void_p, i32p, f32p, f32p,
                                           ctypes.c_int32]
@@ -101,7 +102,8 @@ def _load() -> ctypes.CDLL | None:
         u8pp = ctypes.POINTER(ctypes.c_uint8)
         lib.lora_pyramid_multi_create.restype = ctypes.c_void_p
         lib.lora_pyramid_multi_create.argtypes = (
-            [ctypes.c_int32] * 5 + [ctypes.c_float, ctypes.c_int32])
+            [ctypes.c_int32] * 5 + [ctypes.c_float]
+            + [ctypes.c_int32] * 2)
         lib.lora_pyramid_multi_destroy.argtypes = [ctypes.c_void_p]
         lib.lora_pyramid_multi_feed.argtypes = [
             ctypes.c_void_p, i32p, f32p, f32p, u8pp,
@@ -249,12 +251,14 @@ class PyramidTracker:
     """Native pyramid peak-track state machine; drop-in for
     models.pyramid.PyramidTracker's step/flush surface."""
 
-    def __init__(self, cfg: LoraConfig, grace: int = 0):
+    def __init__(self, cfg: LoraConfig, grace: int = 0,
+                 split_repeats: bool = False):
         lib = _load()
         assert lib is not None, "native library unavailable"
         self._lib = lib
         self._h = lib.lora_pyramid_create(cfg.sf, cfg.p, cfg.fft_factor,
-                                          int(cfg.ldr), cfg.threshold, grace)
+                                          int(cfg.ldr), cfg.threshold, grace,
+                                          int(split_repeats))
         if not self._h:
             raise MemoryError("lora_pyramid_create failed")
 
@@ -328,14 +332,15 @@ class MultiPyramidTracker:
     peak-lattice blocks in one native call — the packet-rate host half of
     the gateway-scale collision decoder (dist/pyramid_gateway.py)."""
 
-    def __init__(self, cfg: LoraConfig, channels: int, grace: int = 0):
+    def __init__(self, cfg: LoraConfig, channels: int, grace: int = 0,
+                 split_repeats: bool = False):
         lib = _load()
         assert lib is not None, "native library unavailable"
         self._lib = lib
         self.channels = channels
         self._h = lib.lora_pyramid_multi_create(
             channels, cfg.sf, cfg.p, cfg.fft_factor, int(cfg.ldr),
-            cfg.threshold, grace)
+            cfg.threshold, grace, int(split_repeats))
         if not self._h:
             raise MemoryError("lora_pyramid_multi_create failed")
 

@@ -58,10 +58,12 @@ void lora_whitening_sequence(uint8_t* dst);
 typedef struct lora_pyramid lora_pyramid;
 
 /* grace: consecutive idle hops a preamble-length track may survive
- * (0 = exact reference behavior). */
+ * (0 = exact reference behavior).  split_repeats: split merged
+ * adjacent-equal-symbol tracks into per-symbol data peaks (opt-in,
+ * beyond-reference; twin of models/pyramid.py split_repeats). */
 lora_pyramid* lora_pyramid_create(int32_t sf, int32_t p, int32_t fft_factor,
                                   int32_t ldr, float threshold,
-                                  int32_t grace);
+                                  int32_t grace, int32_t split_repeats);
 void lora_pyramid_destroy(lora_pyramid* t);
 /* Feed one hop's extracted peaks, sorted ascending by bin (pass npeaks=0
  * for an empty hop). */
@@ -88,7 +90,8 @@ typedef struct lora_pyramid_multi lora_pyramid_multi;
 lora_pyramid_multi* lora_pyramid_multi_create(int32_t channels, int32_t sf,
                                               int32_t p, int32_t fft_factor,
                                               int32_t ldr, float threshold,
-                                              int32_t grace);
+                                              int32_t grace,
+                                              int32_t split_repeats);
 void lora_pyramid_multi_destroy(lora_pyramid_multi* m);
 /* bins/h/h_single float32/int32 [C, H, M] row-major, valid uint8 [C, H, M];
  * advances every channel tracker by H hops. */

@@ -14,6 +14,7 @@
 #include <cstring>
 #include <deque>
 #include <limits>
+#include <map>
 #include <thread>
 #include <vector>
 
@@ -63,6 +64,7 @@ struct lora_pyramid {
   int bin_tolerance;
   float threshold;
   int grace;
+  int split_repeats;  // models/pyramid.py split_repeats (opt-in)
   int ttl0 = 6 * OVERLAPS;
   int hop;
   int64_t ts_ref = 0;
@@ -76,13 +78,15 @@ struct lora_pyramid {
   int64_t packets_dropped = 0;
   int64_t tracks_overflow_finalized = 0;
 
-  lora_pyramid(int sf, int p, int ff, int ldr, float thr, int grc)
+  lora_pyramid(int sf, int p, int ff, int ldr, float thr, int grc,
+               int spl = 0)
       : n(p << sf),
         k(ff << sf),
         fft_factor(ff),
         bin_tolerance(ldr ? ff * 2 : ff / 2),
         threshold(thr),
         grace(grc),
+        split_repeats(spl),
         hop((p << sf) / OVERLAPS) {}
 
   // find_and_add_peak (:225-272): peaks must arrive sorted by bin.
@@ -114,14 +118,74 @@ struct lora_pyramid {
     // interferer does).
     for (size_t t = 0; t < tracks.size();) {
       if ((int)tracks[t].peaks.size() >= MAX_TRACK_PEAKS) {
-        Peak pk;
-        const int st = central_peak(tracks[t], &pk);
-        if (st == 0 || st == 1) add_symbol(pk, st);
+        retire_track(tracks[t]);
         tracks_overflow_finalized++;
         tracks.erase(tracks.begin() + t);
       } else {
         t++;
       }
+    }
+  }
+
+  // models/pyramid.py _split_repeat_track (split_repeats, opt-in): one
+  // merged m-repeat track -> m data peaks at exact one-symbol strides
+  // from the rising-edge apex, grouped by whole-symbol ts offset (covers
+  // adjacent AND gapped same-value runs), gated on the plateau height.
+  void split_repeat_track(const Track& tr, int cap, int floor_,
+                          std::vector<Peak>* out) const {
+    const auto& pk = tr.peaks;
+    const int ln = (int)pk.size();
+    out->clear();
+    if (ln <= floor_ || ln >= cap) return;
+    float hmax = 0;
+    for (const auto& p : pk) hmax = std::max(hmax, p.h);
+    int apex_idx = 0;
+    while (pk[apex_idx].h < 0.95f * hmax) apex_idx++;
+    const Peak apex_pk = pk[apex_idx];
+    std::map<int, float> best;
+    for (const auto& p : pk) {
+      const int64_t rel = pmod(p.ts - apex_pk.ts, TS_MOD);
+      if (rel > TS_MOD / 2) continue;  // rising skirt before the apex
+      const int g = (int)((rel + n / 2) / n);  // half-up, as in Python
+      auto it = best.find(g);
+      if (it == best.end() || p.h > it->second) best[g] = p.h;
+    }
+    for (const auto& gb : best)
+      if (gb.second >= 0.7f * hmax)
+        out->push_back(Peak{pmod(apex_pk.ts + (int64_t)gb.first * n, TS_MOD),
+                            apex_pk.bin, hmax, apex_pk.h_single});
+    if ((int)out->size() < 2) out->clear();
+  }
+
+  // models/pyramid.py _retire_track: classification + (opt-in) repeat
+  // splitting, incl. the preamble-length-run phase disambiguation and
+  // the exactly-2*ov DATA double.
+  void retire_track(Track& tr) {
+    Peak pk;
+    const int st = central_peak(tr, &pk);
+    std::vector<Peak> pks;
+    const int pre_cap = OVERLAPS * (NUM_PREAMBLE - 1) + 2;
+    if (split_repeats && st == 0 &&
+        (int)tr.peaks.size() < OVERLAPS * (NUM_PREAMBLE + 1)) {
+      split_repeat_track(tr, OVERLAPS * (NUM_PREAMBLE + 1), 2 * OVERLAPS,
+                         &pks);
+      if (!pks.empty() && add_symbol(pks[0], 1)) {
+        for (size_t i = 1; i < pks.size(); i++) add_symbol(pks[i], 1);
+        return;
+      }
+    }
+    if (split_repeats && st == 1 && (int)tr.peaks.size() > OVERLAPS + 2) {
+      split_repeat_track(tr, pre_cap, OVERLAPS + 2, &pks);
+      if ((int)pks.size() >= 2) {
+        for (const auto& p : pks) add_symbol(p, 1);
+        return;
+      }
+    }
+    if (st == 0 || st == 1) {
+      add_symbol(pk, st);
+    } else if (split_repeats) {
+      split_repeat_track(tr, pre_cap, 2 * OVERLAPS, &pks);
+      for (const auto& p : pks) add_symbol(p, 1);
     }
   }
 
@@ -230,9 +294,7 @@ struct lora_pyramid {
         keep.push_back(std::move(tr));
         continue;
       }
-      Peak pk;
-      const int st = central_peak(tr, &pk);
-      if (st == 0 || st == 1) add_symbol(pk, st);
+      retire_track(tr);
     }
     tracks = std::move(keep);
   }
@@ -312,8 +374,9 @@ extern "C" {
 
 lora_pyramid* lora_pyramid_create(int32_t sf, int32_t p, int32_t fft_factor,
                                   int32_t ldr, float threshold,
-                                  int32_t grace) {
-  return new lora_pyramid(sf, p, fft_factor, ldr, threshold, grace);
+                                  int32_t grace, int32_t split_repeats) {
+  return new lora_pyramid(sf, p, fft_factor, ldr, threshold, grace,
+                          split_repeats);
 }
 
 void lora_pyramid_destroy(lora_pyramid* t) { delete t; }
@@ -378,9 +441,10 @@ struct lora_pyramid_multi {
   std::vector<lora_pyramid> banks;
 
   lora_pyramid_multi(int ch, int sf, int p, int ff, int ldr, float thr,
-                     int grc) {
+                     int grc, int spl) {
     banks.reserve(ch);
-    for (int c = 0; c < ch; c++) banks.emplace_back(sf, p, ff, ldr, thr, grc);
+    for (int c = 0; c < ch; c++)
+      banks.emplace_back(sf, p, ff, ldr, thr, grc, spl);
   }
 };
 
@@ -389,9 +453,10 @@ extern "C" {
 lora_pyramid_multi* lora_pyramid_multi_create(int32_t channels, int32_t sf,
                                               int32_t p, int32_t fft_factor,
                                               int32_t ldr, float threshold,
-                                              int32_t grace) {
+                                              int32_t grace,
+                                              int32_t split_repeats) {
   return new lora_pyramid_multi(channels, sf, p, fft_factor, ldr, threshold,
-                                grace);
+                                grace, split_repeats);
 }
 
 void lora_pyramid_multi_destroy(lora_pyramid_multi* m) { delete m; }

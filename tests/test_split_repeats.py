@@ -121,15 +121,47 @@ def test_golden_collision_unaffected():
                     "0630f0010203040506050801"], pdus
 
 
-def test_native_tracker_guard():
-    """The C++ tracker does not implement the split — an explicit
-    use_native=True with split_repeats must fail loudly, not silently
-    fall back to reference truncation."""
+def test_gateway_split_repeats():
+    """TriggeredPyramidGateway(split_repeats=True): a repeat-carrying
+    payload that the reference-exact gateway truncates decodes byte-exact
+    when the split is on (both native and Python tracker banks)."""
+    from gr_lora_tpu.dist.collision_gateway import TriggeredPyramidGateway
+    from gr_lora_tpu.ops.cplx import to_ri
+
+    cfg = _cfg(8)
+    pay = bytes([7, 0xA0, 8, 1, 2, 3, 4, 5])
+    iq, _ = _air(cfg, pay)
+
+    def run(split, use_native):
+        gw = TriggeredPyramidGateway(
+            cfg, 1, sfs=(8,), max_payload_len=8, use_native=use_native,
+            scan_chunk_samples=1 << 15, split_repeats=split)
+        pkts = gw.feed(to_ri(iq[None])) + gw.flush()
+        return {bytes(p.result.payload[3:11]) for p in pkts
+                if p.result is not None and p.result.ok and p.result.crc_ok}
+
+    assert pay not in run(False, False)
+    assert pay in run(True, False)
+    from gr_lora_tpu import native
+    if native.available():
+        assert pay in run(True, True)
+
+
+@pytest.mark.parametrize("sf,pay", _REPEAT_CASES)
+def test_native_split_twin(sf, pay):
+    """The C++ tracker's split (native/src/pyramid_tracker.cc
+    split_repeat_track) must reproduce the Python tracker's packets
+    exactly on the repeat fixtures."""
     from gr_lora_tpu import native
     if not native.available():
         pytest.skip("native library unavailable")
-    cfg = _cfg(8)
-    iq, _ = _air(cfg, bytes([1, 2, 3, 4]))
-    with pytest.raises(NotImplementedError):
-        pyramid_demodulate(iq, cfg, max_peaks=8, use_native=True,
-                           split_repeats=True)
+    cfg = _cfg(sf)
+    iq, _ = _air(cfg, pay)
+    py = pyramid_demodulate(iq, cfg, max_peaks=8, use_native=False,
+                            split_repeats=True)
+    cc = pyramid_demodulate(iq, cfg, max_peaks=8, use_native=True,
+                            split_repeats=True)
+    assert len(py) == len(cc)
+    for a, b in zip(py, cc):
+        assert np.array_equal(a, b), (list(a), list(b))
+    assert _decoded(cc, cfg, pay)
