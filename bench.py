@@ -790,10 +790,15 @@ def bench_soak(args):
     base = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
                       payload_len=8, p=args.p, fft_factor=8, threshold=5.0,
                       precision=args.precision)
+    # split_repeats (host trackers): merged-track landmines — adjacent
+    # EQUAL symbols and adjacent-VALUE pairs bridged by leakage — are
+    # deterministic truncations in reference-exact mode; the soak asserts
+    # byte-exact streaming, so it runs the robust product config.
     gw = TriggeredPyramidGateway(base, channels, sfs=sfs,
                                  max_payload_len=8, backend=args.backend,
                                  tracker=args.tracker,
-                                 event_batch=args.event_batch)
+                                 event_batch=args.event_batch,
+                                 split_repeats=args.tracker == "host")
     gw.warmup()
     total = int(minutes * 60 * 125e3 * args.p)
     chunk = 1 << 22

@@ -289,7 +289,10 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
         bi = jnp.argmin(jnp.where(inw, dis[None, :], jnp.inf), axis=1)
         bts = sts[bi]
         shift = (bts % n) * k // n
-        sym = ((sbin[bi] - pre_bin - shift) % k) // ff
+        # Round, don't floor (deliberate deviation; see the Python twin
+        # models/pyramid.py _assemble).
+        sym = (((sbin[bi] - pre_bin - shift) % k + ff // 2) // ff) \
+            % (k // ff)
         syms = jnp.where(processed & found, sym, 0).astype(jnp.int32)
         length = jnp.where(count == 0, 0, processed.sum())
         return syms, length, length >= 8                 # min payload (:755)

@@ -436,8 +436,13 @@ class PyramidTracker:
         # a same-value symbol recurring after a gap (e.g. ..v, w, v, v..)
         # merges into one track whose peak list is NOT hop-continuous, so
         # stride indexing misaligns — ts grouping handles adjacent and
-        # gapped runs alike.  A symbol is emitted only where the group's
-        # best height reaches the plateau (the gap positions carry only
+        # gapped runs alike.  Each group emits its own best RECORDED peak
+        # (self-consistent ts/bin): ADJACENT-VALUE symbols (bins one
+        # fft_factor apart, bridged across the track tolerance by the
+        # leakage peaks of their overlap region) also merge into one
+        # track, and only the group's own apex carries the second
+        # symbol's true bin.  A symbol is emitted only where the group's
+        # height reaches the plateau (gap positions carry only
         # partial-overlap skirts).
         best: dict = {}
         for p in pk_list:
@@ -448,11 +453,23 @@ class PyramidTracker:
             # (native/src/pyramid_tracker.cc) bit-identical at the exact
             # half-symbol skirt offsets.
             g = int((rel + self.n // 2) // self.n)
-            if g not in best or p.h > best[g]:
-                best[g] = p.h
-        out = [_Peak(_pmod(apex.ts + g * self.n, _TS_MOD), apex.bin,
-                     float(hmax), float(apex.h_single))
-               for g in sorted(best) if best[g] >= 0.7 * hmax]
+            if g not in best or p.h > best[g].h:
+                best[g] = p
+        # Snap each group's peak to exact one-symbol spacing from the
+        # apex (a flat plateau's per-group argmax lands anywhere inside
+        # its +-n/2 bucket, which misaligns the assembly windows) and
+        # rotate its bin by the ts delta — the dechirp bin advances
+        # exactly k/n per sample, so (ts, bin) stays self-consistent
+        # while each group keeps its OWN bin (the adjacent-value case).
+        out = []
+        for g in sorted(best):
+            p = best[g]
+            if p.h < 0.7 * hmax:
+                continue
+            snap = _pmod(apex.ts + g * self.n, _TS_MOD)
+            dt = _pmod(snap - p.ts + self.n // 2, _TS_MOD) - self.n // 2
+            bn = _pmod(p.bin + dt * self.k // self.n, self.k)
+            out.append(_Peak(snap, bn, float(p.h), float(p.h_single)))
         return out if len(out) >= 2 else []
 
     # -- ts-phase + height distance (get_dis :187-196) --
@@ -542,7 +559,16 @@ class PyramidTracker:
                         idx = i
                 bin_shift = _pmod(pkt[idx].ts, self.n) * self.k // self.n
                 b = _pmod(pkt[idx].bin - pre_bin - bin_shift, self.k)
-                symbols.append(b // self.cfg.fft_factor)
+                # Deliberate deviation from the reference's floor division
+                # (pyramid_demod_impl.cc:744): the apex ts sits on the hop
+                # grid, so b carries +-1-2 sub-bins of quantization error;
+                # floor flips the SYMBOL whenever b lands one sub-bin
+                # under a multiple of fft_factor (a deterministic ~2 %
+                # packet-error floor at arbitrary sub-symbol phases —
+                # docs/BENCH.md r4).  Rounding absorbs |e| < ff/2.  Twins:
+                # native/src/pyramid_tracker.cc and models/device_tracker.
+                ff = self.cfg.fft_factor
+                symbols.append(((b + ff // 2) // ff) % (self.k // ff))
             else:
                 symbols.append(0)
             start_idx = end_idx

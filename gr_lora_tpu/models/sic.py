@@ -29,6 +29,7 @@ existing hot path.
 from __future__ import annotations
 
 import dataclasses
+from functools import lru_cache
 
 import numpy as np
 
@@ -39,6 +40,19 @@ from ..models.modulator import modulate
 from ..models.pyramid import (PyramidTracker, make_peak_lattice,
                               num_hops_for)
 from ..ops.cplx import to_ri
+
+
+@lru_cache(maxsize=None)
+def _blocked_lattice(cfg, nh, max_peaks, backend, block_hops):
+    """Cached jit of the hop-blocked lattice: the gateway SIC path calls
+    _demod_pass once per dispatched window, and an uncached jax.jit here
+    recompiled the SAME program every window (~5 s each through the axon
+    remote compiler — it was 99.9 % of the r4 SIC bench wall)."""
+    import jax
+
+    from ..models.pyramid import peak_lattice_fn
+    return jax.jit(peak_lattice_fn(cfg, nh, max_peaks, backend,
+                                   block_hops=block_hops))
 
 
 @dataclasses.dataclass
@@ -60,15 +74,12 @@ def _demod_pass(iq_ri: np.ndarray, cfg: LoraConfig, max_peaks: int,
     pyramid_demodulate, with positions kept)."""
     import jax
 
-    from .pyramid import peak_lattice_fn
-
     nh = num_hops_for(cfg, iq_ri.shape[0])
     if nh == 0:
         return []
     lattice = make_peak_lattice(cfg, nh, max_peaks, backend) \
         if lattice_block_hops is None else \
-        jax.jit(peak_lattice_fn(cfg, nh, max_peaks, backend,
-                                block_hops=lattice_block_hops))
+        _blocked_lattice(cfg, nh, max_peaks, backend, lattice_block_hops)
     bins, h, hs, valid = (np.asarray(x) for x in
                           jax.device_get(lattice(iq_ri)))
     if use_native:

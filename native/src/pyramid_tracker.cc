@@ -142,18 +142,28 @@ struct lora_pyramid {
     int apex_idx = 0;
     while (pk[apex_idx].h < 0.95f * hmax) apex_idx++;
     const Peak apex_pk = pk[apex_idx];
-    std::map<int, float> best;
+    // Each group emits its own best RECORDED peak (self-consistent
+    // ts/bin — adjacent-VALUE merges carry the second symbol's true bin
+    // only in its own apex); see the Python twin.
+    std::map<int, Peak> best;
     for (const auto& p : pk) {
       const int64_t rel = pmod(p.ts - apex_pk.ts, TS_MOD);
       if (rel > TS_MOD / 2) continue;  // rising skirt before the apex
       const int g = (int)((rel + n / 2) / n);  // half-up, as in Python
       auto it = best.find(g);
-      if (it == best.end() || p.h > it->second) best[g] = p.h;
+      if (it == best.end() || p.h > it->second.h) best[g] = p;
     }
-    for (const auto& gb : best)
-      if (gb.second >= 0.7f * hmax)
-        out->push_back(Peak{pmod(apex_pk.ts + (int64_t)gb.first * n, TS_MOD),
-                            apex_pk.bin, hmax, apex_pk.h_single});
+    // Snap to exact one-symbol spacing from the apex and rotate the bin
+    // by the ts delta (k/n bins per sample) — see the Python twin.
+    for (const auto& gb : best) {
+      const Peak& p = gb.second;
+      if (p.h < 0.7f * hmax) continue;
+      const int64_t snap = pmod(apex_pk.ts + (int64_t)gb.first * n, TS_MOD);
+      const int64_t dt = pmod(snap - p.ts + n / 2, TS_MOD) - n / 2;
+      const int32_t bn =
+          (int32_t)pmod(p.bin + dt * (int64_t)k / n, k);
+      out->push_back(Peak{snap, bn, p.h, p.h_single});
+    }
     if ((int)out->size() < 2) out->clear();
   }
 
@@ -339,7 +349,13 @@ struct lora_pyramid {
         }
         const int64_t bin_shift = pmod(pkt[idx].ts, n) * k / n;
         const int64_t b = pmod(pkt[idx].bin - pre_bin - bin_shift, k);
-        symbols.push_back((uint16_t)(b / fft_factor));
+        // Round, don't floor (deliberate deviation; see the Python twin
+        // models/pyramid.py _assemble): absorbs the hop-grid apex
+        // quantization error instead of flipping the symbol at ff-bin
+        // boundaries.
+        symbols.push_back(
+            (uint16_t)(((b + fft_factor / 2) / fft_factor) %
+                       (k / fft_factor)));
       } else {
         symbols.push_back(0);
       }

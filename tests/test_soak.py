@@ -79,7 +79,8 @@ def test_gateway_soak(tracker):
     gw = TriggeredPyramidGateway(BASE, channels, sfs=sfs,
                                  max_payload_len=8,
                                  tracker=tracker, use_native=False,
-                                 scan_chunk_samples=1 << 15)
+                                 scan_chunk_samples=1 << 15,
+                                 split_repeats=tracker == "host")
     n8 = gw.sf_states[8].cfg.num_samples
     chunk = 96 * n8
     chunks = (12 if tracker == "device" else 16) * scale
