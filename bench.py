@@ -798,7 +798,7 @@ def bench_soak(args):
                                  max_payload_len=8, backend=args.backend,
                                  tracker=args.tracker,
                                  event_batch=args.event_batch,
-                                 split_repeats=args.tracker == "host")
+                                 split_repeats=True)
     gw.warmup()
     total = int(minutes * 60 * 125e3 * args.p)
     chunk = 1 << 22

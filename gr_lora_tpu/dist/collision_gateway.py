@@ -141,14 +141,12 @@ class TriggeredPyramidGateway:
         #: decoded window (wall['sic']); requires decode_payloads.
         self._sic = sic
         self.sic_windows = 0
-        #: Opt-in adjacent-equal-symbol recovery in the host trackers
-        #: (models/pyramid.PyramidTracker split_repeats; C++ twin in
-        #: native/src/pyramid_tracker.cc).  Not yet ported to the
-        #: on-device tracker.
+        #: Opt-in merged-track recovery (adjacent-equal, gapped-run and
+        #: adjacent-value symbol merges) in every tracker tier:
+        #: models/pyramid.PyramidTracker, the C++ twin
+        #: (native/src/pyramid_tracker.cc) and the on-device lax.scan
+        #: tracker (models/device_tracker split_extract).
         self._split_repeats = split_repeats
-        if split_repeats and tracker == "device":
-            raise ValueError("split_repeats requires tracker='host' "
-                             "(device-tracker port pending)")
         self.channels = channels
         # -- mesh path (VERDICT r3 task 2): channels are sharded over the
         # mesh's 'ch' axis — the sample ring and the dense scans partition
@@ -384,8 +382,9 @@ class TriggeredPyramidGateway:
             from ..models.device_tracker import (_DEVIATION_COUNTERS,
                                                  flush_hops,
                                                  make_device_tracker)
-            init1, proc = make_device_tracker(st.cfg, self.max_peaks,
-                                              self.grace)
+            init1, proc = make_device_tracker(
+                st.cfg, self.max_peaks, self.grace,
+                split_repeats=self._split_repeats)
             run = peak_lattice_fn(st.cfg, st.win_hops, self.max_peaks,
                                   self.backend,
                                   block_hops=self._lattice_block_hops(st))

@@ -157,12 +157,9 @@ class PyramidGateway:
                  decode_payloads: bool = True, tracker: str = "host",
                  device_pools: dict | None = None,
                  split_repeats: bool = False):
-        #: Opt-in adjacent-equal-symbol recovery (models/pyramid
-        #: split_repeats; host trackers only — device-tracker port
-        #: pending).
+        #: Opt-in merged-track recovery (models/pyramid split_repeats;
+        #: all three tracker tiers).
         self._split_repeats = split_repeats
-        if split_repeats and tracker == "device":
-            raise ValueError("split_repeats requires tracker='host'")
         n = cfg.num_samples
         self.cfg = cfg
         self.channels = channels
@@ -211,7 +208,7 @@ class PyramidGateway:
             self._dev_init, self._dev_step, self._dev_pop = \
                 make_channel_tracker_plan(
                     cfg, block_hops, max_peaks, grace, backend, mesh=mesh,
-                    **(device_pools or {}))
+                    split_repeats=split_repeats, **(device_pools or {}))
             self._dev_states = self._dev_init(channels)
             if mesh is not None:
                 self._dev_in_sharding = NamedSharding(

@@ -86,7 +86,8 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
                         grace: int = 0, track_pool: int = 64,
                         packet_pool: int = PYRAMID_PACKET_POOL,
                         max_symbols: int = 96, out_pool: int = 32,
-                        finalize_per_hop: int = 8, expire_per_hop: int = 4):
+                        finalize_per_hop: int = 8, expire_per_hop: int = 4,
+                        split_repeats: bool = False):
     """Build (init_state, process) for one tracker.
 
     ``process(state, bins, h, hs, valid)`` consumes a [H, max_peaks] peak
@@ -110,6 +111,14 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
     ff = cfg.fft_factor
     lo0 = 4 * n + n // 2            # first data-symbol window (:680-684)
     i32 = jnp.int32
+    #: split_repeats (models/pyramid.PyramidTracker twin): the per-track
+    #: peak ring must hold a whole merged run (up to the preamble-length
+    #: disambiguation cap, ov*(num_preamble+1) peaks) instead of just the
+    #: classification window; classification still reads only the last
+    #: 2*ov entries, so reference-exact semantics are unchanged.
+    R = _OV * (PYRAMID_NUM_PREAMBLE + 1) if split_repeats else _RING
+    #: Max split groups per retired track (+1 entry for the normal path).
+    G = (R - 1) // _OV + 1 if split_repeats else 0
 
     def init_state():
         z = partial(jnp.zeros, dtype=jnp.int32)
@@ -119,9 +128,12 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
             # tracks
             "t_active": zb(K), "t_seq": z(K), "t_bin": z(K),
             "t_count": z(K), "t_updated": zb(K), "t_misses": z(K),
-            "t_ring_ts": z((K, _RING)), "t_ring_bin": z((K, _RING)),
-            "t_ring_h": zf((K, _RING)), "t_ring_hs": zf((K, _RING)),
+            "t_ring_ts": z((K, R)), "t_ring_bin": z((K, R)),
+            "t_ring_h": zf((K, R)), "t_ring_hs": zf((K, R)),
             "t_mid_h": zf((K, _MID_HI - _MID_LO)),
+            # split-mode carry: did the current candidate's first split
+            # peak phase-match an existing packet? (gates its tail peaks)
+            "s_gate": jnp.array(False),
             # packets
             "p_active": zb(Q), "p_seq": z(Q), "p_ttl": z(Q),
             "p_pre_ts": z(Q), "p_pre_bin": z(Q),
@@ -161,7 +173,7 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
         st["t_misses"] = _at_set(st["t_misses"], idx, creating, 0)
         st["t_updated"] = _at_set(st["t_updated"], idx, do, True)
         cnt0 = jnp.where(creating, 0, st["t_count"][idx])
-        slot = cnt0 % _RING
+        slot = cnt0 % R
         st["t_ring_ts"] = _at_set(st["t_ring_ts"], (idx, slot), do,
                                   st["ts_ref"])
         st["t_ring_bin"] = _at_set(st["t_ring_bin"], (idx, slot), do, b)
@@ -177,8 +189,11 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
 
     # -- track classification (get_central_peak :319-391) ----------------
     def classify(count, ring_ts, ring_bin, ring_h, ring_hs, mid_h):
+        # Reference-exact classification reads only the LAST 2*ov peaks
+        # regardless of the physical ring size R (split mode keeps more
+        # history for split_extract, never for classification).
         base = count - _RING
-        idxs = (base + jnp.arange(_RING)) % _RING
+        idxs = (base + jnp.arange(_RING)) % R
         lin_ts = ring_ts[idxs]
         lin_bin = ring_bin[idxs]
         lin_h = ring_h[idxs]
@@ -219,6 +234,34 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
                 jnp.where(is_pre, pre[1], data[1]),
                 jnp.where(is_pre, pre[2], data[2]))
 
+    # -- split-mode repeat-run extraction (models/pyramid.py
+    # _split_repeat_track twin: per whole-symbol ts group, the best
+    # recorded peak, snapped to exact one-symbol spacing from the
+    # rising-edge apex with the bin rotated by the ts delta) -------------
+    def split_extract(count, ring_ts, ring_bin, ring_h, ring_hs):
+        idxs = (count - R + jnp.arange(R)) % R
+        ts = ring_ts[idxs]
+        bn = ring_bin[idxs]
+        h = ring_h[idxs]
+        hs = ring_hs[idxs]
+        val = (count - R + jnp.arange(R)) >= 0
+        hmax = jnp.max(jnp.where(val, h, -jnp.inf))
+        ai = jnp.argmax(val & (h >= 0.95 * hmax))       # first plateau hit
+        ats = ts[ai]
+        rel = (ts - ats) % TIMESTAMP_MOD
+        g = (rel + n // 2) // n                          # half-up
+        use = val & (rel <= TIMESTAMP_MOD // 2) & (g < G)
+        gm = (g[None, :] == jnp.arange(G)[:, None]) & use[None, :]
+        hmask = jnp.where(gm, h[None, :], -jnp.inf)
+        bi = jnp.argmax(hmask, axis=1)
+        bh = jnp.max(hmask, axis=1)
+        ok = gm.any(axis=1) & (bh >= 0.7 * hmax)
+        snap = (ats + jnp.arange(G) * n) % TIMESTAMP_MOD
+        dt = (snap - ts[bi] + n // 2) % TIMESTAMP_MOD - n // 2
+        sbn = (bn[bi] + dt * k // n) % k
+        return (snap, sbn, jnp.where(ok, h[bi], jnp.float32(0)),
+                hs[bi], ok, ok.sum())
+
     # -- packet matching (add_symbol_to_packet :393-473) ------------------
     def pkt_step(st, x):
         kind, ts, bn, hh, ok = x
@@ -258,6 +301,59 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
         st["p_count"] = _at_set(st["p_count"], qi, do,
                                 jnp.minimum(cnt + 1, S))
         st["packet_peak_overflow"] += (do & ~room).astype(jnp.int32)
+        return st, None
+
+    # Split-mode packet step: each retired candidate contributes G+1
+    # sequential entries.  ctl: 0 none; 1 preamble (normal); 2 data
+    # (normal apex); 3 try-split — probe the first split peak as data,
+    # on a miss fall back to creating the preamble (the host
+    # _retire_track phase disambiguation), setting s_gate for the tail;
+    # 4 gated tail (condA split peaks, live only if the probe matched);
+    # 5 ungated tail (condB/C split peaks).
+    def pkt_step_split(st, x):
+        ctl, pts, pbin, phh, dts, dbin, dhh = x
+
+        # Data-eligibility of the d-fields (same math as pkt_step).
+        tsd = (dts - st["p_pre_ts"]) % TIMESTAMP_MOD
+        elig = st["p_active"] & (tsd > 4 * n) & (tsd < TIMESTAMP_MOD // 2)
+        dt = (tsd % n).astype(jnp.float32) / n
+        dt = jnp.where(dt > 0.5, (1 - dt) * 2, dt * 2)
+        h_dis = jnp.abs(st["p_pre_h"] - dhh) / st["p_pre_h"]
+        elig &= h_dis < 0.5
+        any_e = elig.any()
+        m = jnp.min(jnp.where(elig, dt, jnp.inf))
+        qi = jnp.argmin(jnp.where(elig & (dt == m), st["p_seq"], _IMAX))
+
+        gate = st["s_gate"]
+        create = (ctl == 1) | ((ctl == 3) & ~any_e)
+        do_data = any_e & ((ctl == 2) | (ctl == 3)
+                           | ((ctl == 4) & gate) | (ctl == 5))
+        st["s_gate"] = jnp.where(ctl == 3, any_e, gate)
+
+        free = ~st["p_active"]
+        any_f = free.any()
+        fi = jnp.argmax(free)
+        cr = create & any_f
+        st["packets_dropped"] += (create & ~any_f).astype(jnp.int32)
+        st["p_active"] = _at_set(st["p_active"], fi, cr, True)
+        st["p_seq"] = _at_set(st["p_seq"], fi, cr, st["pseq"])
+        st["p_ttl"] = _at_set(st["p_ttl"], fi, cr, _TTL0)
+        st["p_pre_ts"] = _at_set(st["p_pre_ts"], fi, cr, pts)
+        st["p_pre_bin"] = _at_set(st["p_pre_bin"], fi, cr, pbin)
+        st["p_pre_h"] = _at_set(st["p_pre_h"], fi, cr, phh)
+        st["p_count"] = _at_set(st["p_count"], fi, cr, 0)
+        st["pseq"] += cr.astype(jnp.int32)
+
+        cnt = st["p_count"][qi]
+        room = cnt < S
+        st["p_ttl"] = _at_set(st["p_ttl"], qi, do_data, _TTL0)
+        cs = jnp.minimum(cnt, S - 1)
+        st["p_ts"] = _at_set(st["p_ts"], (qi, cs), do_data & room, dts)
+        st["p_bin"] = _at_set(st["p_bin"], (qi, cs), do_data & room, dbin)
+        st["p_h"] = _at_set(st["p_h"], (qi, cs), do_data & room, dhh)
+        st["p_count"] = _at_set(st["p_count"], qi, do_data,
+                                jnp.minimum(cnt + 1, S))
+        st["packet_peak_overflow"] += (do_data & ~room).astype(jnp.int32)
         return st, None
 
     # -- assembly (general_work :610-767) ---------------------------------
@@ -320,10 +416,16 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
         st["finalize_deferred"] += jnp.maximum(n_over + n_idle - F, 0)
 
         cc = jnp.clip(cand, 0, K - 1)
+        cnts = st["t_count"][cc]
         kinds, ats, abin, ah = jax.vmap(classify)(
-            st["t_count"][cc], st["t_ring_ts"][cc], st["t_ring_bin"][cc],
+            cnts, st["t_ring_ts"][cc], st["t_ring_bin"][cc],
             st["t_ring_h"][cc], st["t_ring_hs"][cc], st["t_mid_h"][cc])
         add_ok = cand_ok & (kinds != _KIND_BROKEN)
+        if split_repeats:
+            sp_ts, sp_bin, sp_h, sp_hs, sp_ok, m_eff = jax.vmap(
+                split_extract)(cnts, st["t_ring_ts"][cc],
+                               st["t_ring_bin"][cc], st["t_ring_h"][cc],
+                               st["t_ring_hs"][cc])
 
         proc = jnp.zeros(K + 1, bool).at[
             jnp.where(cand_ok, cand, K)].set(True)[:K]
@@ -335,7 +437,46 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
                                              st["t_misses"]))
         st["t_updated"] = jnp.where(keep, False, st["t_updated"])
 
-        st, _ = jax.lax.scan(pkt_step, st, (kinds, ats, abin, ah, add_ok))
+        if not split_repeats:
+            st, _ = jax.lax.scan(pkt_step, st,
+                                 (kinds, ats, abin, ah, add_ok))
+        else:
+            # models/pyramid.py _retire_track branch masks, in scan form.
+            is_pre = kinds == _KIND_PRE
+            is_data = kinds == _KIND_DATA
+            is_brk = kinds == _KIND_BROKEN
+            can_split = cand_ok & (m_eff >= 2)
+            condA = can_split & is_pre & (cnts < R)
+            condB = can_split & is_data & (cnts > _OV + 2) \
+                & (cnts < _PRE_MIN)
+            condC = can_split & is_brk & (cnts > _DATA_MAX) \
+                & (cnts < _PRE_MIN)
+            fvi = jnp.argmax(sp_ok, axis=1)
+            arF = jnp.arange(F)
+            ctl0 = jnp.where(condA, 3,
+                             jnp.where(condB | condC, 0,
+                                       jnp.where(add_ok & is_pre, 1,
+                                                 jnp.where(add_ok & is_data,
+                                                           2, 0))))
+            tail_is_probe = jnp.arange(G)[None, :] == fvi[:, None]
+            tail_ctl = jnp.where(
+                ~sp_ok, 0,
+                jnp.where(condA[:, None] & tail_is_probe, 0,
+                          jnp.where(condA[:, None], 4,
+                                    jnp.where((condB | condC)[:, None],
+                                              5, 0))))
+            ctl = jnp.concatenate([ctl0[:, None], tail_ctl], 1).reshape(-1)
+            d0t = jnp.where(condA, sp_ts[arF, fvi], ats)
+            d0b = jnp.where(condA, sp_bin[arF, fvi], abin)
+            d0h = jnp.where(condA, sp_h[arF, fvi], ah)
+            xs2 = (ctl,
+                   jnp.broadcast_to(ats[:, None], (F, G + 1)).reshape(-1),
+                   jnp.broadcast_to(abin[:, None], (F, G + 1)).reshape(-1),
+                   jnp.broadcast_to(ah[:, None], (F, G + 1)).reshape(-1),
+                   jnp.concatenate([d0t[:, None], sp_ts], 1).reshape(-1),
+                   jnp.concatenate([d0b[:, None], sp_bin], 1).reshape(-1),
+                   jnp.concatenate([d0h[:, None], sp_h], 1).reshape(-1))
+            st, _ = jax.lax.scan(pkt_step_split, st, xs2)
 
         # TTL expiry + assembly (:610-767).
         exp = st["p_active"] & (st["p_ttl"] <= 0)

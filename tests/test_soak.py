@@ -80,7 +80,7 @@ def test_gateway_soak(tracker):
                                  max_payload_len=8,
                                  tracker=tracker, use_native=False,
                                  scan_chunk_samples=1 << 15,
-                                 split_repeats=tracker == "host")
+                                 split_repeats=True)
     n8 = gw.sf_states[8].cfg.num_samples
     chunk = 96 * n8
     chunks = (12 if tracker == "device" else 16) * scale

@@ -132,19 +132,67 @@ def test_gateway_split_repeats():
     pay = bytes([7, 0xA0, 8, 1, 2, 3, 4, 5])
     iq, _ = _air(cfg, pay)
 
-    def run(split, use_native):
+    def run(split, use_native, tracker="host"):
         gw = TriggeredPyramidGateway(
             cfg, 1, sfs=(8,), max_payload_len=8, use_native=use_native,
-            scan_chunk_samples=1 << 15, split_repeats=split)
+            scan_chunk_samples=1 << 15, split_repeats=split,
+            tracker=tracker)
         pkts = gw.feed(to_ri(iq[None])) + gw.flush()
         return {bytes(p.result.payload[3:11]) for p in pkts
                 if p.result is not None and p.result.ok and p.result.crc_ok}
 
     assert pay not in run(False, False)
     assert pay in run(True, False)
+    assert pay in run(True, False, tracker="device")
     from gr_lora_tpu import native
     if native.available():
         assert pay in run(True, True)
+
+
+@pytest.mark.parametrize("sf,pay", _REPEAT_CASES)
+def test_device_split_twin(sf, pay):
+    """The on-device lax.scan tracker's split (models/device_tracker:
+    split_extract + pkt_step_split) must reproduce the host tracker's
+    packets exactly on the repeat fixtures."""
+    import jax
+
+    from gr_lora_tpu.models.device_tracker import DevicePyramidTracker
+    from gr_lora_tpu.models.pyramid import (PyramidTracker,
+                                            make_peak_lattice,
+                                            num_hops_for)
+    from gr_lora_tpu.ops.cplx import to_ri
+
+    cfg = _cfg(sf)
+    iq, _ = _air(cfg, pay)
+    iq_ri = np.ascontiguousarray(to_ri(iq), np.float32)
+    nh = num_hops_for(cfg, iq_ri.shape[0])
+    lat = tuple(np.asarray(x) for x in
+                jax.device_get(make_peak_lattice(cfg, nh, 8)(iq_ri)))
+    bins, h, hs, valid = lat
+
+    host = PyramidTracker(cfg, split_repeats=True)
+    for t in range(nh):
+        v = valid[t]
+        if v.any():
+            o = np.argsort(bins[t][v], kind="stable")
+            host.step(bins[t][v][o], h[t][v][o], hs[t][v][o])
+        else:
+            host.step()
+    for _ in range(host.flush_hops()):
+        host.step()
+
+    dev = DevicePyramidTracker(cfg, max_peaks=8, split_repeats=True)
+    dev.feed(*lat)
+    dev.feed_empty(dev.flush_hops())
+    syms, pos = dev.drain()
+    assert dev.deviations() == 0, dev.stats()
+    assert len(syms) == len(host.symbols_out), (
+        [list(s) for s in syms], [list(s) for s in host.symbols_out])
+    for a, b, pa, pb in zip(host.symbols_out, syms,
+                            host.positions_out, pos):
+        assert np.array_equal(a, b), (list(a), list(b))
+        assert pa == pb
+    assert _decoded(syms, cfg, pay)
 
 
 @pytest.mark.parametrize("sf,pay", _REPEAT_CASES)
