@@ -549,10 +549,11 @@ _ANCHOR_TOL_BELOW_IDEAL_DB = 1.0
 # Weak-path band (VERDICT r3 task 7): measured overhead of the
 # integrator-free weak chain vs the 2-copy ideal bound — preamble/SFD
 # detection at 6 combined chirps plus fractional-bin rounding of the
-# combined argmax (docs/BENCH.md r4 anchor table).  The "reference"
-# compensation policy is only lower-bounded: its modulus-1 random walk
-# (a replicated reference landmine) has no physics ceiling.
-_WEAK_TOL_ABOVE_DB = 6.0
+# combined argmax; measured 3.9-5.7 dB across SF7-10 at 60 trials
+# (docs/BENCH.md r4 anchor table), banded at 7 for trial jitter.  The
+# "reference" compensation policy is only lower-bounded: its modulus-1
+# random walk (a replicated reference landmine) has no physics ceiling.
+_WEAK_TOL_ABOVE_DB = 7.0
 
 
 def ideal_per_waterfall(sf: int, nsym: int, per: float = 0.5,

@@ -145,6 +145,21 @@ def main(argv=None) -> int:
     ap.add_argument("--max-payload-len", type=int, default=32,
                     help="collision mode: payload bound sizing the "
                          "dispatch window")
+    ap.add_argument("--sic", action="store_true",
+                    help="collision mode: successive interference "
+                         "cancellation on dispatched windows (recovers "
+                         "masked-preamble packets; host-side cost per "
+                         "decoded window)")
+    ap.add_argument("--split-repeats", action="store_true",
+                    help="collision mode: split merged peak tracks "
+                         "(adjacent-equal / adjacent-value symbol runs "
+                         "truncate packets under reference-exact rules; "
+                         "see docs/PARITY.md)")
+    ap.add_argument("--tracker", choices=["host", "device"],
+                    default="host",
+                    help="collision mode: host C++ tracker bank vs "
+                         "on-device lax.scan tracker (only finished "
+                         "packets leave the chip)")
     add_config_args(ap)
     args = ap.parse_args(argv)
     base = config_from_args(args)
@@ -163,7 +178,9 @@ def main(argv=None) -> int:
             base.replace(fft_factor=8)
         engine = TriggeredPyramidGateway(
             pyr_base, args.channels, sfs=sfs,
-            max_payload_len=args.max_payload_len, bw=args.spacing)
+            max_payload_len=args.max_payload_len, bw=args.spacing,
+            sic=args.sic, split_repeats=args.split_repeats,
+            tracker=args.tracker)
     else:
         engine = _FsmEngine(base, sfs, args.spacing, args.channels)
 

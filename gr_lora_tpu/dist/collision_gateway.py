@@ -596,17 +596,24 @@ class TriggeredPyramidGateway:
         by_lane: dict[int, list] = {}
         for i, ts, syms in results:
             by_lane.setdefault(i, []).append((ts, syms))
+        # Any tracked packet qualifies the window: a clean one may be
+        # masking a preamble-less collider (the 66/66 envelope case), an
+        # unclean one is exactly what subtract-and-re-read repairs
+        # (_refine re-reads it with the others cancelled).  Empty lanes —
+        # the common noise-triggered window — stay free.  All qualifying
+        # windows fetch in ONE device_get (a per-lane fetch pays a full
+        # tunnel/PCIe round trip each).
+        lanes = [i for i in range(len(events)) if by_lane.get(i)]
+        fetched_wins = {}
+        if lanes:
+            got = jax.device_get([slices[i] for i in lanes])
+            fetched_wins = dict(zip(lanes, got))
         new = []
         for i in range(len(events)):
             lane = by_lane.get(i, [])
-            # Any tracked packet qualifies the window: a clean one may be
-            # masking a preamble-less collider (the 66/66 envelope case),
-            # an unclean one is exactly what subtract-and-re-read repairs
-            # (_refine re-reads it with the others cancelled).  Empty
-            # lanes — the common noise-triggered window — stay free.
             if not lane:
                 continue
-            win_ri = np.asarray(jax.device_get(slices[i]))
+            win_ri = np.asarray(fetched_wins[i])
             wiq = (win_ri[..., 0] + 1j * win_ri[..., 1]
                    ).astype(np.complex64)
             pkts = sic_demodulate(

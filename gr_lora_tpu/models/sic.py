@@ -231,10 +231,21 @@ def _align_fast(residual: np.ndarray, tmpl: np.ndarray, cfg: LoraConfig,
     if abs(tau) > n:
         return None
     s = int(round(s - tau))
-    u = tone("up", s + 2 * n)
-    d = tone("down", s + 10 * n + n // 2)       # inside the 2.25-sym SFD
-    if u is None or d is None:
+    su, sd = s + 2 * n, s + 10 * n + n // 2     # mid-preamble / inside SFD
+    if su < 0 or sd < 0 or sd + n > residual.shape[0]:
         return None
+    # Dispatch both tones async, then ONE fetch (a per-tone fetch pays a
+    # full tunnel/PCIe round trip each).  Two separate programs on
+    # purpose: a fused up+down jit embeds both zoom-DFT weight constants
+    # and exceeds the axon remote-compile body limit at high SF.
+    wu = jnp.asarray(to_ri(np.ascontiguousarray(residual[su:su + n])))
+    wd = jnp.asarray(to_ri(np.ascontiguousarray(residual[sd:sd + n])))
+    (ui, _), (di, _) = jax.device_get((up_peak(wu, cfg),
+                                       down_peak(wd, cfg)))
+    u = int(ui)
+    u = u - k if u > k // 2 else u
+    d = int(di)
+    d = d - k if d > k // 2 else d
     # The down window deliberately sits n/2 INTO the SFD downchirp, so
     # d = eps - (tau + n/2)*ff/p: remove the half-symbol placement bias.
     tau = ((u - d) * cfg.p / cfg.fft_factor - n / 2.0) / 2.0
