@@ -87,7 +87,8 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
                         packet_pool: int = PYRAMID_PACKET_POOL,
                         max_symbols: int = 96, out_pool: int = 32,
                         finalize_per_hop: int = 8, expire_per_hop: int = 4,
-                        split_repeats: bool = False):
+                        split_repeats: bool = False,
+                        quantize: str = "round"):
     """Build (init_state, process) for one tracker.
 
     ``process(state, bins, h, hs, valid)`` consumes a [H, max_peaks] peak
@@ -109,6 +110,11 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
     tol = cfg.bin_tolerance
     thr = jnp.float32(cfg.threshold)
     ff = cfg.fft_factor
+    #: bin->symbol quantization offset: 'round' (default; deliberate
+    #: deviation, see models/pyramid.py _assemble) vs the bit-true
+    #: reference floor rule (pyramid_demod_impl.cc:744).
+    assert quantize in ("floor", "round"), quantize
+    qoff = ff // 2 if quantize == "round" else 0
     lo0 = 4 * n + n // 2            # first data-symbol window (:680-684)
     i32 = jnp.int32
     #: split_repeats (models/pyramid.PyramidTracker twin): the per-track
@@ -386,8 +392,9 @@ def make_device_tracker(cfg: LoraConfig, max_peaks: int = 16,
         bts = sts[bi]
         shift = (bts % n) * k // n
         # Round, don't floor (deliberate deviation; see the Python twin
-        # models/pyramid.py _assemble).
-        sym = (((sbin[bi] - pre_bin - shift) % k + ff // 2) // ff) \
+        # models/pyramid.py _assemble; quantize='floor' restores the
+        # reference rule).
+        sym = (((sbin[bi] - pre_bin - shift) % k + qoff) // ff) \
             % (k // ff)
         syms = jnp.where(processed & found, sym, 0).astype(jnp.int32)
         length = jnp.where(count == 0, 0, processed.sum())

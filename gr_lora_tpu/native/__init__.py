@@ -47,15 +47,26 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the .so is missing or older than any native source —
+    a stale library would silently ignore newly added C-API parameters."""
+    if not _LIB_PATH.exists():
+        return True
+    t = _LIB_PATH.stat().st_mtime
+    src = _NATIVE_DIR / "src"
+    paths = list(src.glob("*")) + [_NATIVE_DIR / "Makefile"]
+    return any(p.is_file() and p.stat().st_mtime > t for p in paths)
+
+
 def _load() -> ctypes.CDLL | None:
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _LIB_PATH.exists() and os.environ.get(
+        if _stale() and os.environ.get(
                 "GR_LORA_TPU_NO_NATIVE_BUILD") != "1":
-            if not _build():
+            if not _build() and not _LIB_PATH.exists():
                 return None
         if not _LIB_PATH.exists():
             return None
@@ -83,7 +94,7 @@ def _load() -> ctypes.CDLL | None:
         lib.lora_pyramid_create.restype = ctypes.c_void_p
         lib.lora_pyramid_create.argtypes = ([ctypes.c_int32] * 4
                                             + [ctypes.c_float]
-                                            + [ctypes.c_int32] * 2)
+                                            + [ctypes.c_int32] * 3)
         lib.lora_pyramid_destroy.argtypes = [ctypes.c_void_p]
         lib.lora_pyramid_step.argtypes = [ctypes.c_void_p, i32p, f32p, f32p,
                                           ctypes.c_int32]
@@ -103,7 +114,7 @@ def _load() -> ctypes.CDLL | None:
         lib.lora_pyramid_multi_create.restype = ctypes.c_void_p
         lib.lora_pyramid_multi_create.argtypes = (
             [ctypes.c_int32] * 5 + [ctypes.c_float]
-            + [ctypes.c_int32] * 2)
+            + [ctypes.c_int32] * 3)
         lib.lora_pyramid_multi_destroy.argtypes = [ctypes.c_void_p]
         lib.lora_pyramid_multi_feed.argtypes = [
             ctypes.c_void_p, i32p, f32p, f32p, u8pp,
@@ -252,13 +263,15 @@ class PyramidTracker:
     models.pyramid.PyramidTracker's step/flush surface."""
 
     def __init__(self, cfg: LoraConfig, grace: int = 0,
-                 split_repeats: bool = False):
+                 split_repeats: bool = False, quantize: str = "round"):
         lib = _load()
         assert lib is not None, "native library unavailable"
+        assert quantize in ("floor", "round"), quantize
         self._lib = lib
         self._h = lib.lora_pyramid_create(cfg.sf, cfg.p, cfg.fft_factor,
                                           int(cfg.ldr), cfg.threshold, grace,
-                                          int(split_repeats))
+                                          int(split_repeats),
+                                          int(quantize == "round"))
         if not self._h:
             raise MemoryError("lora_pyramid_create failed")
 
@@ -333,14 +346,16 @@ class MultiPyramidTracker:
     the gateway-scale collision decoder (dist/pyramid_gateway.py)."""
 
     def __init__(self, cfg: LoraConfig, channels: int, grace: int = 0,
-                 split_repeats: bool = False):
+                 split_repeats: bool = False, quantize: str = "round"):
         lib = _load()
         assert lib is not None, "native library unavailable"
+        assert quantize in ("floor", "round"), quantize
         self._lib = lib
         self.channels = channels
         self._h = lib.lora_pyramid_multi_create(
             channels, cfg.sf, cfg.p, cfg.fft_factor, int(cfg.ldr),
-            cfg.threshold, grace, int(split_repeats))
+            cfg.threshold, grace, int(split_repeats),
+            int(quantize == "round"))
         if not self._h:
             raise MemoryError("lora_pyramid_multi_create failed")
 

@@ -77,28 +77,19 @@ def _weights(cfg: LoraConfig, kt: int) -> np.ndarray:
     return jnp.asarray(cols).astype(jnp.bfloat16)
 
 
-def _kernel(x_ref, w_ref, fa_ref, faw_ref, hs_ref, *, kt, split_dots=False):
-    if split_dots:
-        # Four narrower dots, each immediately followed by its magnitude:
-        # the epilogue of component c depends only on dot c, so Mosaic can
-        # overlap the VPU magnitude work with the next component's MXU
-        # pass instead of serializing one wide dot -> whole epilogue.
-        x = x_ref[:]
+def _kernel(x_ref, w_ref, fa_ref, faw_ref, hs_ref, *, kt):
+    # One wide dot, then the epilogue on the live accumulator.  A
+    # split-dots variant (four narrow dots, each followed by its own
+    # magnitude, aiming at MXU/VPU overlap) was A/B-measured on the TPU
+    # (tools/kernel_ab.py, r5) at parity at ff=8 (318 vs 317 Msps) and 2 %
+    # SLOWER at ff=2 (1041 vs 1065 Msps) — rejected.
+    y = jnp.dot(x_ref[:], w_ref[:],
+                preferred_element_type=jnp.float32)   # [ft, 8*kt]
 
-        def mag(c):
-            y = jnp.dot(x, w_ref[:, 2 * c * kt:(2 * c + 2) * kt],
-                        preferred_element_type=jnp.float32)  # [ft, 2*kt]
-            re = y[:, :kt]
-            im = y[:, kt:]
-            return jnp.sqrt(re * re + im * im)
-    else:
-        y = jnp.dot(x_ref[:], w_ref[:],
-                    preferred_element_type=jnp.float32)   # [ft, 8*kt]
-
-        def mag(c):
-            re = y[:, 2 * c * kt:(2 * c + 1) * kt]
-            im = y[:, (2 * c + 1) * kt:(2 * c + 2) * kt]
-            return jnp.sqrt(re * re + im * im)
+    def mag(c):
+        re = y[:, 2 * c * kt:(2 * c + 1) * kt]
+        im = y[:, (2 * c + 1) * kt:(2 * c + 2) * kt]
+        return jnp.sqrt(re * re + im * im)
 
     m0, m1, m2, m3 = mag(0), mag(1), mag(2), mag(3)
     fa_ref[:, :] = m0 + m1
@@ -109,7 +100,7 @@ def _kernel(x_ref, w_ref, fa_ref, faw_ref, hs_ref, *, kt, split_dots=False):
 @lru_cache(maxsize=None)
 def make_direct_spectra(cfg: LoraConfig, num_frames: int,
                         frame_tile: int = 256, k_tile: int = 0,
-                        interpret: bool = False, split_dots: bool = False):
+                        interpret: bool = False):
     """Jitted iq float32[T, 2] -> (fft_add, fft_add_w, h_single), each
     [num_frames, K] — numerically the direct bf16 front-end
     (ops/dechirp.pyramid_spectra at precision='bf16') with the epilogue
@@ -138,7 +129,7 @@ def make_direct_spectra(cfg: LoraConfig, num_frames: int,
                             memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
-        partial(_kernel, kt=kt, split_dots=split_dots),
+        partial(_kernel, kt=kt),
         grid=grid,
         in_specs=[x_spec, w_spec],
         out_specs=(out_spec, out_spec, out_spec),

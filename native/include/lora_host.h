@@ -61,9 +61,12 @@ typedef struct lora_pyramid lora_pyramid;
  * (0 = exact reference behavior).  split_repeats: split merged
  * adjacent-equal-symbol tracks into per-symbol data peaks (opt-in,
  * beyond-reference; twin of models/pyramid.py split_repeats). */
+/* quantize_round: 1 = rounded bin->symbol assembly (product default);
+ * 0 = bit-true reference floor rule (pyramid_demod_impl.cc:744). */
 lora_pyramid* lora_pyramid_create(int32_t sf, int32_t p, int32_t fft_factor,
                                   int32_t ldr, float threshold,
-                                  int32_t grace, int32_t split_repeats);
+                                  int32_t grace, int32_t split_repeats,
+                                  int32_t quantize_round);
 void lora_pyramid_destroy(lora_pyramid* t);
 /* Feed one hop's extracted peaks, sorted ascending by bin (pass npeaks=0
  * for an empty hop). */
@@ -91,7 +94,8 @@ lora_pyramid_multi* lora_pyramid_multi_create(int32_t channels, int32_t sf,
                                               int32_t p, int32_t fft_factor,
                                               int32_t ldr, float threshold,
                                               int32_t grace,
-                                              int32_t split_repeats);
+                                              int32_t split_repeats,
+                                              int32_t quantize_round);
 void lora_pyramid_multi_destroy(lora_pyramid_multi* m);
 /* bins/h/h_single float32/int32 [C, H, M] row-major, valid uint8 [C, H, M];
  * advances every channel tracker by H hops. */

@@ -65,6 +65,8 @@ struct lora_pyramid {
   float threshold;
   int grace;
   int split_repeats;  // models/pyramid.py split_repeats (opt-in)
+  int quantize_round; // 1 = rounded bin->symbol (default); 0 = bit-true
+                      // reference floor rule (pyramid_demod_impl.cc:744)
   int ttl0 = 6 * OVERLAPS;
   int hop;
   int64_t ts_ref = 0;
@@ -79,7 +81,7 @@ struct lora_pyramid {
   int64_t tracks_overflow_finalized = 0;
 
   lora_pyramid(int sf, int p, int ff, int ldr, float thr, int grc,
-               int spl = 0)
+               int spl = 0, int qround = 1)
       : n(p << sf),
         k(ff << sf),
         fft_factor(ff),
@@ -87,6 +89,7 @@ struct lora_pyramid {
         threshold(thr),
         grace(grc),
         split_repeats(spl),
+        quantize_round(qround),
         hop((p << sf) / OVERLAPS) {}
 
   // find_and_add_peak (:225-272): peaks must arrive sorted by bin.
@@ -352,10 +355,11 @@ struct lora_pyramid {
         // Round, don't floor (deliberate deviation; see the Python twin
         // models/pyramid.py _assemble): absorbs the hop-grid apex
         // quantization error instead of flipping the symbol at ff-bin
-        // boundaries.
+        // boundaries.  quantize_round=0 restores the bit-true reference
+        // floor rule (pyramid_demod_impl.cc:744).
+        const int64_t qoff = quantize_round ? fft_factor / 2 : 0;
         symbols.push_back(
-            (uint16_t)(((b + fft_factor / 2) / fft_factor) %
-                       (k / fft_factor)));
+            (uint16_t)(((b + qoff) / fft_factor) % (k / fft_factor)));
       } else {
         symbols.push_back(0);
       }
@@ -390,9 +394,10 @@ extern "C" {
 
 lora_pyramid* lora_pyramid_create(int32_t sf, int32_t p, int32_t fft_factor,
                                   int32_t ldr, float threshold,
-                                  int32_t grace, int32_t split_repeats) {
+                                  int32_t grace, int32_t split_repeats,
+                                  int32_t quantize_round) {
   return new lora_pyramid(sf, p, fft_factor, ldr, threshold, grace,
-                          split_repeats);
+                          split_repeats, quantize_round);
 }
 
 void lora_pyramid_destroy(lora_pyramid* t) { delete t; }
@@ -457,10 +462,10 @@ struct lora_pyramid_multi {
   std::vector<lora_pyramid> banks;
 
   lora_pyramid_multi(int ch, int sf, int p, int ff, int ldr, float thr,
-                     int grc, int spl) {
+                     int grc, int spl, int qround) {
     banks.reserve(ch);
     for (int c = 0; c < ch; c++)
-      banks.emplace_back(sf, p, ff, ldr, thr, grc, spl);
+      banks.emplace_back(sf, p, ff, ldr, thr, grc, spl, qround);
   }
 };
 
@@ -470,9 +475,10 @@ lora_pyramid_multi* lora_pyramid_multi_create(int32_t channels, int32_t sf,
                                               int32_t p, int32_t fft_factor,
                                               int32_t ldr, float threshold,
                                               int32_t grace,
-                                              int32_t split_repeats) {
+                                              int32_t split_repeats,
+                                              int32_t quantize_round) {
   return new lora_pyramid_multi(channels, sf, p, fft_factor, ldr, threshold,
-                                grace, split_repeats);
+                                grace, split_repeats, quantize_round);
 }
 
 void lora_pyramid_multi_destroy(lora_pyramid_multi* m) { delete m; }

@@ -42,8 +42,11 @@ def test_repeated_symbol_is_a_pyramid_landmine():
     assembly walk stops at the resulting gap
     (pyramid_demod_impl.cc:680-767).  The plain FSM demodulator (windowed
     argmax, no tracking) decodes the same packet byte-exact — engine
-    difference, not a bug.  The soak generator therefore streams
-    repeat-free payloads (dist/soak._pyramid_safe_payload)."""
+    difference, not a bug.  The reference-parity soak variant
+    (split_repeats=False) therefore streams repeat-free payloads
+    (dist/soak._pyramid_safe_payload); the product config soaks
+    UNCURATED traffic with this landmine class deliberately seeded
+    (dist/soak._uncurated_payload, test_gateway_soak)."""
     from gr_lora_tpu.core.codec import decode, encode
     from gr_lora_tpu.models.pyramid import pyramid_demodulate
     from gr_lora_tpu.models.transceiver import loopback
@@ -93,6 +96,35 @@ def test_gateway_soak(tracker):
     # The stream really wrapped the device ring many times.
     streamed = chunks * chunk
     assert streamed > 4 * gw._ring.cap, (streamed, gw._ring.cap)
+    # Product config => UNCURATED traffic: the landmine classes really
+    # streamed (repeat-carrying payloads are exactly what split_repeats
+    # exists to decode — VERDICT r4 weak #1).
+    from gr_lora_tpu.core.codec import encode
+    reps = 0
+    for ch, pay in expected:
+        sf = pay[2] if len(pay) == 8 else None      # uncurated tag layout
+        if sf in sfs:
+            tx = np.asarray(encode(pay, gw.sf_states[sf].cfg))
+            reps += bool(np.any(tx[1:] == tx[:-1]))
+    assert reps >= 2, (reps, sorted(expected))
+
+
+def test_gateway_soak_reference_parity():
+    """The split_repeats=False gateway is exact reference behavior, so its
+    soak streams the curated repeat-free traffic class the reference
+    engine decodes by construction (run_gateway_soak auto-selects it)."""
+    channels = 2
+    sfs = (7, 8)
+    gw = TriggeredPyramidGateway(BASE, channels, sfs=sfs,
+                                 max_payload_len=8,
+                                 tracker="host", use_native=False,
+                                 scan_chunk_samples=1 << 15,
+                                 split_repeats=False)
+    n8 = gw.sf_states[8].cfg.num_samples
+    expected, got, log = run_gateway_soak(
+        gw, channels, sfs, 8, 96 * n8, seed=9,
+        duty_target=0.18, collision_every=4)
+    check_soak(expected, got, log, gw, min_packets=6)
 
 
 def test_device_tracker_deviation_delay_not_loss():

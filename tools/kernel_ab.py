@@ -43,8 +43,11 @@ def main():
     sys.path.insert(0, ".")
     from bench import _paired_time
 
-    for split in (False, True):
-        step = make_direct_spectra(cfg, args.frames, split_dots=split)
+    # Variants under A/B.  split_dots was measured here (r5: parity at
+    # ff=8, 2 % slower at ff=2) and deleted; the harness stays for the
+    # next kernel candidate.
+    for name in ("direct",):
+        step = make_direct_spectra(cfg, args.frames)
 
         def make_run(reps, _step=step):
             @jax.jit
@@ -62,8 +65,7 @@ def main():
         base = 16
         per = _paired_time(make_run, base, 5 * base, rounds=args.rounds)
         sps = args.frames * hop / per
-        print(f"split_dots={split}: {per * 1e3:.3f} ms/pass "
-              f"= {sps / 1e6:.0f} Msps")
+        print(f"{name}: {per * 1e3:.3f} ms/pass = {sps / 1e6:.0f} Msps")
 
 
 if __name__ == "__main__":
