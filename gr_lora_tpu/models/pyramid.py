@@ -80,20 +80,29 @@ def peak_lattice_fn(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
     hop = n // PYRAMID_OVERLAP_FACTOR
     r = n // hop
 
-    if backend == "fused":
+    if backend in ("fused", "fused_direct"):
         # In-kernel peak search (round 4): the dense spectra never reach
-        # HBM — only [H, M] peak tuples do.  Direct formulation for small
-        # frames (its frame inputs stream, so block_hops is moot);
-        # bin-tiled overlap formulation for large SF x fft_factor (falls
-        # through to the block wrapper below: the chunk spectra G are
-        # still materialized per block).  Off-TPU these run interpreted.
+        # HBM — only [H, M] peak tuples do.  Preference order: the rDFT
+        # recombination kernel (round 5 — half the MXU work, whole bin
+        # axis VMEM-resident) where its weight block fits; the direct
+        # formulation for small frames; bin-tiled overlap formulation for
+        # large SF x fft_factor (falls through to the block wrapper
+        # below: the chunk spectra G are still materialized per block).
+        # 'fused_direct' pins the round-4 direct kernel (kernel A/B).
+        # Off-TPU these run interpreted.
         from ..ops.dft import _DIRECT_MAX_ELEMS
         from ..ops.pallas_peaks import overlap_peaks_supported
+        from ..ops.pallas_rdft import rdft_peaks_supported
         interpret = jax.default_backend() != "tpu"
+        if backend == "fused" and rdft_peaks_supported(cfg):
+            from ..ops.pallas_rdft import make_rdft_peaks
+            return make_rdft_peaks(cfg, num_hops, max_peaks,
+                                   interpret=interpret)
         if n * 4 * cfg.bin_size <= _DIRECT_MAX_ELEMS:
             from ..ops.pallas_direct import make_direct_peaks
             return make_direct_peaks(cfg, num_hops, max_peaks,
                                      interpret=interpret)
+        backend = "fused"
         if not overlap_peaks_supported(cfg):
             backend = "xla"     # dense spectra + XLA peak epilogue
 
@@ -165,9 +174,16 @@ def peak_lattice_fn(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
         interpret = jax.default_backend() != "tpu"
         return make_direct_spectra(cfg, num_hops, interpret=interpret)(iq)
 
+    def spectra_rdft(iq):
+        # rDFT-recombined bf16 MXU kernel (ops/pallas_rdft, round 5):
+        # half the MXU work of spectra_direct, one HBM pass over frames.
+        from ..ops.pallas_rdft import make_rdft_spectra
+        interpret = jax.default_backend() != "tpu"
+        return make_rdft_spectra(cfg, num_hops, interpret=interpret)(iq)
+
     spectra = {"xla": spectra_xla, "pallas": spectra_pallas,
                "fast": spectra_fast, "fastp": spectra_fastp,
-               "direct": spectra_direct}[backend]
+               "direct": spectra_direct, "rdft": spectra_rdft}[backend]
 
     def run(iq):
         fft_add, fft_add_w, h_single = spectra(iq)

@@ -167,3 +167,38 @@ def test_sic_recovers_masked_preamble_in_gateway():
     assert PDU1 in with_sic and PDU2 in with_sic, with_sic
     assert gw.sic_windows >= 1 and gw.wall["sic"] > 0
     assert gw.stats()["sic_windows"] == gw.sic_windows
+
+
+@pytest.mark.parametrize("off2", [
+    # Envelope-grid probes (bench --mode collision geometry) at the hard
+    # amplitude ratio 0.2: sub-symbol phases across a symbol at 16-symbol
+    # overlap depth, the two degenerate hop-aligned points, and a shallow
+    # depth — all points the offline SIC tier recovers 66/66
+    # (docs/BENCH.md) and at least some of which the bare tracker loses.
+    16 * 512 + 13, 16 * 512 + 141, 16 * 512 + 301, 16 * 512 + 461,
+    16 * 512, 16 * 512 + 512 // 8, 8 * 512 + 204,
+])
+def test_sic_envelope_through_gateway(off2):
+    """VERDICT r4 item 2: the 66/66 collision-recovery envelope must be
+    reachable through the PRODUCT path — TriggeredPyramidGateway(sic=True)
+    — not just models/sic offline: both golden PDUs byte-exact at every
+    probed envelope point."""
+    cfg = BASE
+    n = cfg.num_samples
+    assert n == 512
+    p1 = 0.2 * modulate(encode(bytes([1, 2, 3, 4, 5, 6]), cfg), cfg,
+                        pad_front=0, pad_back=0)
+    p2 = 0.2 * 0.2 * modulate(encode(bytes([7] * 5), cfg), cfg,
+                              pad_front=0, pad_back=0)
+    total = 5000 + off2 + len(p2) + 60 * n
+    iq = np.zeros((1, total), np.complex64)
+    iq[0, 5000:5000 + len(p1)] += p1
+    iq[0, 5000 + off2:5000 + off2 + len(p2)] += p2
+
+    gw = TriggeredPyramidGateway(cfg, 1, sfs=(8,), max_payload_len=16,
+                                 scan_chunk_samples=1 << 16, sic=True)
+    pkts = gw.feed(to_ri(iq)) + gw.flush()
+    pdus = {bytes(p.result.payload).hex() for p in pkts
+            if p.result is not None and p.result.ok}
+    assert PDU1 in pdus and PDU2 in pdus, (off2, pdus)
+    assert gw.sic_windows >= 1

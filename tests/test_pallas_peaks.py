@@ -52,13 +52,28 @@ def _assert_equiv(ref_rows, fused_rows, rtol):
 
 
 def test_fused_direct_matches_direct_backend():
-    """make_direct_peaks == direct-backend spectra + XLA peak epilogue
-    (same bf16 tier) — exact equality expected."""
+    """make_direct_peaks ('fused_direct' pins it) == direct-backend
+    spectra + XLA peak epilogue (same bf16 tier) — exact equality."""
     cfg = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
                      payload_len=4, fft_factor=8, threshold=5.0)
     iq, total = _fixture(cfg)
     nh = num_hops_for(cfg, total)
     ref = jax.jit(peak_lattice_fn(cfg, nh, 8, "direct"))
+    fused = jax.jit(peak_lattice_fn(cfg, nh, 8, "fused_direct"))
+    _assert_equiv(_peak_sets(ref(iq)), _peak_sets(fused(iq)), rtol=0)
+
+
+def test_fused_rdft_matches_rdft_backend():
+    """'fused' now dispatches to make_rdft_peaks where supported (round
+    5); it must equal rdft-backend spectra + XLA peak epilogue — same
+    arithmetic, so exact equality."""
+    cfg = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
+                     payload_len=4, fft_factor=8, threshold=5.0)
+    from gr_lora_tpu.ops.pallas_rdft import rdft_peaks_supported
+    assert rdft_peaks_supported(cfg)
+    iq, total = _fixture(cfg)
+    nh = num_hops_for(cfg, total)
+    ref = jax.jit(peak_lattice_fn(cfg, nh, 8, "rdft"))
     fused = jax.jit(peak_lattice_fn(cfg, nh, 8, "fused"))
     _assert_equiv(_peak_sets(ref(iq)), _peak_sets(fused(iq)), rtol=0)
 

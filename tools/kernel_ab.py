@@ -1,20 +1,23 @@
-"""A/B microbench for ops/pallas_direct.make_direct_spectra variants.
+"""A/B microbench for direct-formulation pyramid front-end kernels.
 
 Paired-length on-device timing (bench._paired_time) of the shipping
-one-wide-dot kernel vs the split-dots variant at the bench operating
+kernel (ops/pallas_direct) vs candidate variants at the bench operating
 points (sf=8, p=2, ff in {2, 8}).  Run on the TPU:
 
-    python tools/kernel_ab.py [--ff 8] [--frames 4096]
+    python tools/kernel_ab.py [--ff 8] [--frames 4096] [--variants a,b]
 
-CPU correctness (interpret mode) is checked by tests/test_pallas_direct.py;
-this tool only measures.
+Decisions recorded here and in docs/BENCH.md:
+- split_dots (four narrow dots vs one wide, r5): parity at ff=8
+  (318 vs 317 Msps), 2 % SLOWER at ff=2 (1041 vs 1065 Msps) — deleted.
+
+CPU correctness (interpret mode) is checked by tests/test_pallas_direct.py
+and tests/test_pallas_rdft.py; this tool only measures.
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
-import time
 
 import numpy as np
 
@@ -24,6 +27,8 @@ def main():
     ap.add_argument("--ff", type=int, default=8)
     ap.add_argument("--frames", type=int, default=4096)
     ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--variants", type=str,
+                    default="direct,rdft_flip,rdft_matmul")
     args = ap.parse_args()
 
     import jax
@@ -31,6 +36,7 @@ def main():
 
     from gr_lora_tpu import LoraConfig
     from gr_lora_tpu.ops.pallas_direct import make_direct_spectra
+    from gr_lora_tpu.ops.pallas_rdft import make_rdft_spectra
 
     cfg = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
                      payload_len=8, p=2, fft_factor=args.ff, threshold=5.0,
@@ -43,19 +49,45 @@ def main():
     sys.path.insert(0, ".")
     from bench import _paired_time
 
-    # Variants under A/B.  split_dots was measured here (r5: parity at
-    # ff=8, 2 % slower at ff=2) and deleted; the harness stays for the
-    # next kernel candidate.
-    for name in ("direct",):
-        step = make_direct_spectra(cfg, args.frames)
+    from gr_lora_tpu.ops.pallas_direct import make_direct_peaks
+    from gr_lora_tpu.ops.pallas_rdft import make_rdft_peaks
+
+    makers = {
+        "direct": lambda: make_direct_spectra(cfg, args.frames),
+        "rdft": lambda: make_rdft_spectra(cfg, args.frames),
+        "rdft_flip": lambda: make_rdft_spectra(cfg, args.frames, rev="flip"),
+        "rdft_ft64": lambda: make_rdft_spectra(cfg, args.frames,
+                                               frame_tile=64),
+        "rdft_ft128": lambda: make_rdft_spectra(cfg, args.frames,
+                                                frame_tile=128),
+        "rdft_ft256": lambda: make_rdft_spectra(cfg, args.frames,
+                                                frame_tile=256),
+        "rdft_ft512": lambda: make_rdft_spectra(cfg, args.frames,
+                                                frame_tile=512),
+        "rdft_fuse": lambda: make_rdft_spectra(cfg, args.frames, fuse=True),
+        "rdft_nofuse": lambda: make_rdft_spectra(cfg, args.frames,
+                                                 fuse=False),
+        "rdft_fuse_ft128": lambda: make_rdft_spectra(cfg, args.frames,
+                                                     frame_tile=128,
+                                                     fuse=True),
+        "direct_peaks": lambda: make_direct_peaks(cfg, args.frames, 8),
+        "rdft_peaks": lambda: make_rdft_peaks(cfg, args.frames, 8),
+        "rdft_peaks_ft128": lambda: make_rdft_peaks(cfg, args.frames, 8,
+                                                    frame_tile=128),
+        "rdft_peaks_ft256": lambda: make_rdft_peaks(cfg, args.frames, 8,
+                                                    frame_tile=256),
+    }
+
+    for name in args.variants.split(","):
+        step = makers[name]()
 
         def make_run(reps, _step=step):
             @jax.jit
             def run(x=iq):
                 def body(c, _):
-                    fa, faw, hs = _step(x + c * 0)
-                    s = (jnp.sum(fa) + jnp.sum(faw) + jnp.sum(hs)
-                         ).astype(jnp.float32)
+                    outs = _step(x + c * 0)
+                    s = sum(jnp.sum(o.astype(jnp.float32))
+                            for o in jax.tree.leaves(outs))
                     return c + s, ()
                 tot, _ = jax.lax.scan(body, jnp.float32(0), None,
                                       length=reps)
@@ -63,7 +95,11 @@ def main():
             return run
 
         base = 16
-        per = _paired_time(make_run, base, 5 * base, rounds=args.rounds)
+        try:
+            per = _paired_time(make_run, base, 5 * base, rounds=args.rounds)
+        except Exception as e:  # compile failure on one variant: keep going
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            continue
         sps = args.frames * hop / per
         print(f"{name}: {per * 1e3:.3f} ms/pass = {sps / 1e6:.0f} Msps")
 
