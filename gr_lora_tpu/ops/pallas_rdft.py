@@ -284,7 +284,7 @@ def _peaks_kernel(x_ref, w_ref, c_ref, val_ref, bin_ref, h_ref, hs_ref, ws,
 
 @lru_cache(maxsize=None)
 def make_rdft_peaks(cfg: LoraConfig, num_frames: int, max_peaks: int = 8,
-                    frame_tile: int = 0, k_tile: int = _LANE,
+                    frame_tile: int = 0, k_tile: int = 0,
                     rev: str = "matmul", fuse: bool | None = None,
                     interpret: bool = False):
     """Jitted iq float32[T, 2] -> per-hop top-M pyramid peaks
@@ -297,7 +297,15 @@ def make_rdft_peaks(cfg: LoraConfig, num_frames: int, max_peaks: int = 8,
     k = cfg.bin_size
     kp = k + _LANE
     hop = n // _R
-    kt = min(k_tile, k)
+    # Default: the whole bin axis as ONE top-M block.  The cross-lane
+    # reduction work is identical to 128-bin blocks (same total
+    # elements), but the scalar-guarded @pl.when branches per frame tile
+    # drop 16x — the per-block branch machinery, not the selection
+    # arithmetic, dominated the blocked variant (same wall on peak-free
+    # and peak-dense fixtures) — and the cross-block XLA top-k
+    # disappears.  A/B r5 (tools/kernel_ab.py, ff=8): full-K 339 Msps vs
+    # kt=512 110 / kt=128 109; ff=2: 645 vs 630.
+    kt = k if k_tile <= 0 else min(k_tile, k)
     assert k % kt == 0
     if frame_tile <= 0:
         frame_tile = 256        # A/B r5: 108 vs 101 Msps over ft=128

@@ -9,6 +9,10 @@ points (sf=8, p=2, ff in {2, 8}).  Run on the TPU:
 Decisions recorded here and in docs/BENCH.md:
 - split_dots (four narrow dots vs one wide, r5): parity at ff=8
   (318 vs 317 Msps), 2 % SLOWER at ff=2 (1041 vs 1065 Msps) — deleted.
+- peaks k_tile (r5): full-K one-block top-M 339 Msps at ff=8 vs 110
+  (kt=512) / 109 (kt=128); ff=2 645 vs 630 — the per-block
+  scalar-guarded branch machinery dominated, not the selection
+  arithmetic.  SHIPPED as the make_rdft_peaks default (k_tile=0).
 
 CPU correctness (interpret mode) is checked by tests/test_pallas_direct.py
 and tests/test_pallas_rdft.py; this tool only measures.
@@ -76,6 +80,10 @@ def main():
                                                     frame_tile=128),
         "rdft_peaks_ft256": lambda: make_rdft_peaks(cfg, args.frames, 8,
                                                     frame_tile=256),
+        "rdft_peaks_kt128": lambda: make_rdft_peaks(cfg, args.frames, 8,
+                                                    k_tile=128),
+        "rdft_peaks_kt512": lambda: make_rdft_peaks(cfg, args.frames, 8,
+                                                    k_tile=512),
     }
 
     for name in args.variants.split(","):
