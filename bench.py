@@ -24,7 +24,8 @@ import time
 import numpy as np
 
 
-def build_inputs(cfg, num_frames: int, seed: int = 0):
+def build_inputs(cfg, num_frames: int, seed: int = 0,
+                 noise: float = 0.05, amp: float = 1.0):
     import jax.numpy as jnp
 
     from gr_lora_tpu.config import PYRAMID_OVERLAP_FACTOR
@@ -36,9 +37,9 @@ def build_inputs(cfg, num_frames: int, seed: int = 0):
     hop = n // PYRAMID_OVERLAP_FACTOR
     total = num_frames * hop + n
     rng = np.random.default_rng(seed)
-    iq = rng.normal(0.0, 0.05, (total, 2)).astype(np.float32)
-    pkt = to_ri(modulate(encode(bytes(range(1, 7)), cfg), cfg,
-                         pad_front=0, pad_back=0))
+    iq = rng.normal(0.0, noise, (total, 2)).astype(np.float32)
+    pkt = amp * to_ri(modulate(encode(bytes(range(1, 7)), cfg), cfg,
+                               pad_front=0, pad_back=0))
     step = max(total // 4, 1)
     for off in range(0, max(total - len(pkt), 1), step):
         iq[off:off + len(pkt)] += pkt
@@ -121,10 +122,16 @@ def rdft_cost(cfg, num_frames: int, peaks: bool = False) -> dict:
     - ``mm_flops``: the four real dots [ft, n] @ [n, 2*(K+128)] per frame
       tile plus the two bf16 anti-identity reversal dots (2 MACs = 2
       flops each), straight from the kernel structure.
-    - ``bytes``: bf16 frames in (one pass — the whole bin axis is VMEM-
-      resident), weights once, f32 outputs written, and (spectra mode)
-      re-read once by the minimal sum consumer the measurement uses;
-      peaks mode emits only [nkt, H, M] candidate tuples.
+    - ``bytes``: raw f32 hop rows in (each sample once — frames are
+      assembled in VMEM, ops/pallas_rdft._assemble, and the whole bin
+      axis is VMEM-resident), weights once, f32 outputs written; peaks
+      mode emits only [nkt, H, M] candidate tuples.  No consumer term:
+      the roofline measurement consumes one scalar per output — a
+      pallas_call is opaque to XLA, so the kernel still runs and writes
+      everything, and the measured wall is the kernel (+ the small
+      _split_hops relayout), not an artificial dense re-read (r5; the
+      old sum consumer re-read the 402 MB ff=8 spectra serially and was
+      charged to the kernel).
     - ``vpu_ops``: the serial elementwise epilogue, one op per arithmetic
       primitive exactly as the kernel states them — dechirp/window
       prologue per n-sample row, conjugate recombination + two
@@ -142,17 +149,31 @@ def rdft_cost(cfg, num_frames: int, peaks: bool = False) -> dict:
     k = cfg.bin_size
     kp = k + 128
     h = num_frames
+    hop = n // 8
     mm = h * (16 * n * kp + 2 * 2 * k * 128)
-    in_bytes = h * 2 * n * 2 + n * 2 * kp * 2 + 8 * n * 4
+    in_bytes = h * hop * 2 * 4 + n * 2 * kp * 2 + 8 * n * 4
+    # XLA prologue, executed SERIALLY before the pallas call (XLA cannot
+    # overlap an HLO op with a custom call it feeds), so it is its own
+    # roofline leg, not part of the DMA-overlappable kernel bytes.
+    # Since the r5 in-VMEM frame assembly it is only the _split_hops
+    # relayout (read + write of the raw f32 samples) plus the
+    # carry-dependency copy of iq the paired-length measurement adds;
+    # the old frame-materializing fusion (f32 gather per bf16 element,
+    # ~117 MB at 16k frames) was isolated empirically as the then-wall's
+    # largest non-roofline term and eliminated in the kernel redesign.
+    prologue_bytes = h * hop * 16 + h * hop * 16
     if peaks:
         m = 8
-        out_bytes = 4 * (k // 128) * h * m * 4
+        out_bytes = 4 * h * m * 4           # full-K plan: nkt = 1
     else:
-        out_bytes = 3 * h * k * 4 * 2       # written + consumer re-read
-    vpu = h * (n * 14 + k * 27)
+        out_bytes = 3 * h * k * 4           # written once
+    # n*16: dechirp/window prologue per frame row (14) + the two VMEM
+    # frame-assembly stores per element (_assemble, r5).
+    vpu = h * (n * 16 + k * 27)
     if peaks:
         vpu += h * k * 7                    # threshold + cyclic local max
-    return {"mm_flops": mm, "bytes": in_bytes + out_bytes, "vpu_ops": vpu}
+    return {"mm_flops": mm, "bytes": in_bytes + out_bytes,
+            "prologue_bytes": prologue_bytes, "vpu_ops": vpu}
 
 
 def main():
@@ -315,8 +336,11 @@ def main():
             fr = {}
             for ff in (2, 8):
                 rcfg = cfg.replace(fft_factor=ff)
-                res = bench_roofline(rcfg, args, 16384, emit=False)
+                res = bench_roofline(rcfg, args, 16384, emit=False,
+                                     assert_floors=False)
                 fr[f"ff{ff}"] = round(res["rdft"]["frac"], 3)
+                fr[f"ff{ff}_fused"] = round(res["fused"]["frac"], 3)
+            fr["bar"] = 0.90
             line["speed_of_light_fraction"] = fr
         except Exception as e:
             line["speed_of_light_fraction"] = {
@@ -396,39 +420,75 @@ def _measure_stream_gbps() -> float:
 
 def _measure_mm_tf(rows: int, depth: int, width: int) -> float:
     """Attainable bf16 MXU rate at the formulation's EXACT dot shape
-    ([rows, depth] @ [depth, width], f32 accumulate), measured
-    compute-bound: 8 accumulated dots per scan step with a non-foldable
-    carry dependency (float c*0 is not constant-foldable: NaN*0 != 0),
-    paired-length timing.  This — not the nameplate 197 TF — is the
-    per-shape machine rate a kernel issuing the same dots can reach."""
+    ([rows, depth] @ [depth, width], f32 accumulate) under the same
+    execution regime the kernels use: a minimal WEIGHT-STATIONARY Pallas
+    grid — inputs and the weight block resident in VMEM across grid
+    steps, one dot per step OVERWRITING a VMEM scratch (the kernels
+    assign dot results, they never read-modify-write, and Mosaic does
+    not DCE or CSE grid steps, so every step's dot executes with zero
+    non-dot work to subtract — an earlier += variant needed a VPU
+    correction that overcorrected to 207 'TF' on a 197 TF chip).  A
+    plain-XLA dot chain cannot measure this ceiling: it streams the
+    [depth, width] operand from HBM per dot, so at these aspect ratios
+    it is bandwidth-bound and 'measured' 139 TF where the
+    weight-stationary kernel itself sustains more (r5).  Scalar
+    consumption of the scratch (not of an XLA dot, which the compiler
+    shrinks to one row — that 'measured' 827 TF).  FOUR dots per grid
+    step into separate scratch slabs, matching the kernels' issue
+    pattern (the nofuse plan runs exactly 4 such dots per step; a
+    1-dot-per-step probe pays a grid boundary per dot and underread the
+    rate enough to put the model above the measured kernel wall)."""
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(0, 1, (rows, depth)).astype(np.float32)
+    x = jnp.asarray(rng.normal(0, 1, (4, rows, depth)).astype(np.float32)
                     ).astype(jnp.bfloat16)
-    w = jnp.asarray(rng.normal(0, 1, (8, depth, width)).astype(np.float32)
+    w = jnp.asarray(rng.normal(0, 1, (depth, width)).astype(np.float32)
                     ).astype(jnp.bfloat16)
+    t_steps = 16
+
+    def kern(x_ref, w_ref, o_ref, acc):
+        i = pl.program_id(0)
+        for j in range(4):
+            acc[:, j * width:(j + 1) * width] = jnp.dot(
+                x_ref[j], w_ref[:], preferred_element_type=jnp.float32)
+
+        @pl.when(i == t_steps - 1)
+        def _():
+            o_ref[:, :] = (acc[0:1, 0:1]
+                           + acc[rows - 1:rows, 4 * width - 1:4 * width])
+
+    call = pl.pallas_call(
+        kern, grid=(t_steps,),
+        in_specs=[pl.BlockSpec((4, rows, depth), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((depth, width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, 4 * width), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
 
     def make_run(k):
         @jax.jit
         def run(xx=x, ww=w):
             def body(c, _):
-                s = jnp.float32(0)
-                xc = xx + c * 0
-                for j in range(8):
-                    y = jnp.dot(xc, ww[j],
-                                preferred_element_type=jnp.float32)
-                    s = s + y[0, 0]
-                return c + s, ()
+                o = call(xx + c * 0, ww)
+                return c + o[0, 0], ()
             tot, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
             return tot
         return run
 
     # ~0.4 s of pure device time in the paired difference (see
     # _measure_stream_gbps) — sized assuming ~150 TF attainable.
-    fl = 8 * 2 * rows * depth * width
-    per = _paired_time(make_run, 8, 8 + int(0.4 / (fl / 150e12)))
+    fl = t_steps * 4 * 2 * rows * depth * width
+    per = _paired_time(make_run, 4, 4 + int(0.4 / (fl / 150e12)))
     return fl / per / 1e12
 
 
@@ -476,7 +536,7 @@ def _measure_vpu_gops() -> float:
     return fl / per
 
 
-def bench_roofline(cfg, args, num_frames, emit=True):
+def bench_roofline(cfg, args, num_frames, emit=True, assert_floors=True):
     """Computed, ASSERTED speed-of-light accounting (BASELINE.md
     '>= 90 % of speed-of-light FFT throughput per chip').
 
@@ -491,36 +551,59 @@ def bench_roofline(cfg, args, num_frames, emit=True):
     - the kernel's resource counts straight from its structure —
       rdft_cost.
 
-    Speed of light per pass: SoL = max(mm_flops/R_mm, bytes/R_hbm)
-    + vpu_ops/R_vpu — DMA overlaps compute (Mosaic double-buffers
-    grid blocks), but the elementwise epilogue runs back to back with
-    the dot inside each grid cell, so it is a serial term, not a third
-    roofline leg.  The asserted bar: the spectra stage (backend 'rdft',
-    the shipping direct-formulation FFT) must measure >= 90 % of this
-    fully-measured SoL at BOTH zooms; 'fused' (spectra + in-VMEM peak
-    search, the north-star backend) is asserted against its own model at
-    a lower floor because its top-M selection loop is data-dependent
+    Speed of light per pass:
+        SoL = prologue_bytes/R_hbm + max(mm_flops/R_mm, bytes/R_hbm)
+              + vpu_ops/R_vpu
+    Three serial legs, each justified by a measurement (r5):
+    - Grid-block DMA overlaps the dots (Mosaic double-buffers), hence
+      the max().
+    - The elementwise epilogue does NOT overlap the dots:
+      tools/overlap_probe.py measured independent MXU + VPU work in one
+      grid step at mxu+vpu wall, not max — Mosaic serializes the units
+      — so vpu is a serial leg and software-pipelining it away is not a
+      machine option.
+    - The XLA frame-assembly fusion runs serially before the custom
+      call (its output feeds the kernel), so its HBM traffic is the
+      third leg; the measured wall minus mxu minus vpu matches it at
+      both zooms, and the rev='none' A/B ruled out the in-kernel
+      reversal matmuls (tools/kernel_ab.py).
+    The asserted bar: the spectra stage (backend 'rdft', the shipping
+    direct-formulation FFT) must measure >= 90 % of this fully-measured
+    SoL at BOTH zooms; 'fused' (spectra + in-VMEM peak search, the
+    north-star backend) is asserted against its own model at a lower
+    floor because its top-M selection loop is data-dependent
     (rdft_cost docstring, docs/BENCH.md)."""
     import jax
     import jax.numpy as jnp
 
     iq, hop, total = build_inputs(cfg, num_frames)
+    # The fused backend is measured at NORTH-STAR occupancy (noise 0.003,
+    # packets at 0.2 — the product fixture of --mode north_star): its
+    # data-dependent top-M selection loop is priced by how much air
+    # actually carries peaks, and the product path is peak-sparse.  The
+    # spectra backend's cost is occupancy-independent, so it keeps the
+    # hot fixture.
+    iq_sparse, _, _ = build_inputs(cfg, num_frames, noise=0.003, amp=0.2)
     dev = jax.devices()[0]
 
     n = cfg.num_samples
     k = cfg.bin_size
     stream_gbps = _measure_stream_gbps()
-    ft = 256
-    mm_tf = _measure_mm_tf(4 * ft if k <= 1024 else ft, n, 2 * (k + 128))
     vpu_gops = _measure_vpu_gops()
+    # The kernel's own dot shape (ops/pallas_rdft defaults): the fused
+    # stacked dot is 4*128 rows at narrow zooms, a plain 256-row dot at
+    # wide ones.
+    rows = 4 * 128 if k <= 1024 else 256
+    mm_tf = _measure_mm_tf(rows, n, 2 * (k + 128))
     samples = num_frames * hop
     results = {}
     for backend in ("rdft", "fused"):
         cost = rdft_cost(cfg, num_frames, peaks=backend == "fused")
         mm_s = cost["mm_flops"] / (mm_tf * 1e12)
         byte_s = cost["bytes"] / (stream_gbps * 1e9)
+        pro_s = cost["prologue_bytes"] / (stream_gbps * 1e9)
         vpu_s = cost["vpu_ops"] / vpu_gops
-        sol_s = max(mm_s, byte_s) + vpu_s
+        sol_s = pro_s + max(mm_s, byte_s) + vpu_s
         step = make_step(cfg, num_frames, hop, backend)
         # Repeat the pass ON-DEVICE inside one lax.scan dispatch and time
         # by paired lengths (_paired_time): a single pass is ~1 ms while
@@ -530,13 +613,20 @@ def bench_roofline(cfg, args, num_frames, emit=True):
         # hoisting the loop-invariant pass out of the scan (float c*0 is
         # not foldable: NaN * 0 != 0).
         base_reps = int(np.clip(0.08 / sol_s, 4, 512))
+        meas_iq = iq_sparse if backend == "fused" else iq
 
-        def make_run(reps, _step=step):
+        def make_run(reps, _step=step, _iq=meas_iq):
             @jax.jit
-            def run(x=iq):
+            def run(x=_iq):
                 def body(c, _):
                     outs = _step(x + c * 0)
-                    s = sum(jnp.sum(o.astype(jnp.float32))
+                    # Scalar consumer: one element per output keeps the
+                    # carry dependency (serializing the scan) while a
+                    # pallas_call stays opaque to XLA — the kernel runs
+                    # and writes every output in full regardless.  A sum
+                    # consumer would re-read the dense spectra (402 MB at
+                    # ff=8) serially and charge it to the kernel.
+                    s = sum(o[(0,) * o.ndim].astype(jnp.float32)
                             for o in jax.tree.leaves(outs))
                     return c + s, ()
                 tot, _ = jax.lax.scan(body, jnp.float32(0), None,
@@ -550,7 +640,8 @@ def bench_roofline(cfg, args, num_frames, emit=True):
                             "frac": sol_s / best}
         print(f"# backend={backend}: {samples / best / 1e6:.0f} Msps, "
               f"SoL={samples / sol_s / 1e6:.0f} Msps "
-              f"(mxu={mm_s * 1e3:.2f} ms @ {mm_tf:.0f} TF, "
+              f"(pro={pro_s * 1e3:.2f} ms, "
+              f"mxu={mm_s * 1e3:.2f} ms @ {mm_tf:.0f} TF, "
               f"byte={byte_s * 1e3:.2f} ms @ {stream_gbps:.0f} GB/s, "
               f"vpu={vpu_s * 1e3:.2f} ms @ {vpu_gops / 1e9:.0f} Gops) "
               f"-> {sol_s / best:.0%} of SoL", file=sys.stderr)
@@ -568,18 +659,26 @@ def bench_roofline(cfg, args, num_frames, emit=True):
           f"attainable_mm={mm_tf:.0f} TF (nameplate 197 bf16) "
           f"stream={stream_gbps:.0f} GB/s vpu={vpu_gops / 1e9:.0f} Gops "
           f"fused_frac={results['fused']['frac']:.0%}", file=sys.stderr)
-    if not args.quick:
+    if assert_floors and not args.quick:
         # The BASELINE.md bar, asserted: >= 90 % of the fully-measured
         # speed-of-light model for the spectra stage at both zooms
-        # (measured r5: 92-97 %, docs/BENCH.md).  The fused backend's
-        # floor carries the unmodeled data-dependent top-M slack.
+        # (measured r5: 100 % at ff=8, 104 % at ff=2 — readings can sit
+        # a few % above 100 because each model term carries its own
+        # measurement tolerance; the bar is one-sided).
         assert frac >= 0.90, (
             f"spectra stage at {frac:.0%} of measured speed-of-light "
             f"(bar: >= 90 % at ff={cfg.fft_factor})")
+        # r5 measured: fused 124 % (ff=8) / 121 % (ff=2) of its model —
+        # >100 % because the model prices the full peak-epilogue op
+        # count at the probe's sqrt-heavy VPU rate while the early-exit
+        # top-M machinery beats it, and it charges the dense-output DMA
+        # the fused backend never performs at zero credit.  The floor is
+        # regression protection for the shipping north-star backend
+        # (VERDICT r4 task 2) with ~25 % headroom for tunnel weather.
         ffrac = results["fused"]["frac"]
-        assert ffrac >= 0.55, (
+        assert ffrac >= 0.90, (
             f"fused peak-search backend at {ffrac:.0%} of its model "
-            f"(floor: >= 55 % at ff={cfg.fft_factor})")
+            f"(floor: >= 90 % at ff={cfg.fft_factor})")
     return results
 
 
@@ -649,14 +748,19 @@ _SEMTECH_SNR_DB = {7: -7.5, 8: -10.0, 9: -12.5, 10: -15.0, 11: -17.5,
 # SF >= 10.  The assertion band encodes that envelope.
 _ANCHOR_TOL_ABOVE_DB = 4.5
 _ANCHOR_TOL_BELOW_IDEAL_DB = 1.0
-# Weak-path band (VERDICT r3 task 7): measured overhead of the
-# integrator-free weak chain vs the 2-copy ideal bound — preamble/SFD
-# detection at 6 combined chirps plus fractional-bin rounding of the
-# combined argmax; measured 3.9-5.7 dB across SF7-10 at 60 trials
-# (docs/BENCH.md r4 anchor table), banded at 7 for trial jitter.  The
+# Weak-path band (VERDICT r3 task 7, tightened r5 per VERDICT r4 task 8):
+# measured overhead of the integrator-free weak chain vs the 2-copy ideal
+# bound — preamble/SFD detection at 6 combined chirps plus fractional-bin
+# rounding of the combined argmax.  Recorded PER-SF from the r5 100-trial
+# regeneration (docs/BENCH.md anchor table) and banded at measured
+# + 1.5 dB trial jitter, so a >= 2 dB weak-chain sensitivity regression
+# fails the assert (the old uniform 7 dB band could not catch one).  The
 # "reference" compensation policy is only lower-bounded: its modulus-1
 # random walk (a replicated reference landmine) has no physics ceiling.
-_WEAK_TOL_ABOVE_DB = 7.0
+# At the LDR SFs the recorded "weak" curve IS the (identical) policy pair
+# and sits below every swept point (waterfall None) — no margin to record.
+_WEAK_LDRONLY_MARGIN_DB = {7: 5.7, 8: 4.6, 9: 4.0, 10: 3.9}
+_WEAK_TOL_SLACK_DB = 1.5
 
 
 def ideal_per_waterfall(sf: int, nsym: int, per: float = 0.5,
@@ -850,11 +954,14 @@ def bench_per(args):
                 assert wfw >= ideal_weak - _ANCHOR_TOL_BELOW_IDEAL_DB, \
                     f"{k2}: measured {wfw} beats the 2-copy ideal bound" \
                     f" {ideal_weak} — measurement bug"
-                if name == "weak_ldronly" or ldr:
-                    assert wfw <= ideal_weak + _WEAK_TOL_ABOVE_DB, \
+                if (name == "weak_ldronly" or ldr) \
+                        and sf in _WEAK_LDRONLY_MARGIN_DB:
+                    band = _WEAK_LDRONLY_MARGIN_DB[sf] + _WEAK_TOL_SLACK_DB
+                    assert wfw <= ideal_weak + band, \
                         f"{k2}: measured {wfw} vs 2-copy ideal" \
-                        f" {ideal_weak} exceeds the" \
-                        f" {_WEAK_TOL_ABOVE_DB} dB weak-chain band"
+                        f" {ideal_weak} exceeds the recorded" \
+                        f" {_WEAK_LDRONLY_MARGIN_DB[sf]} dB margin +" \
+                        f" {_WEAK_TOL_SLACK_DB} dB slack"
     if anchors:
         _write_per_artifact(args, curves, anchors)
         print(f"# anchors: {json.dumps(anchors)}", file=sys.stderr)
@@ -879,9 +986,12 @@ def bench_soak(args):
     tests/test_soak.py (gr_lora_tpu/dist/soak.check_soak): byte-exact
     PDUs throughout (singles and golden collision pairs, exactly once),
     bounded dedupe/pending/dispatch state, ring capacity settled, zero
-    dropped events and device deviations.  The reference holds a GR
-    stream open indefinitely (lib/demod_impl.cc:130) — this is the
-    bounded-memory evidence at gateway duty."""
+    dropped events and device deviations.  The gateway runs the product
+    config (split_repeats=True), so the traffic is UNCURATED (VERDICT r4
+    weak #1): random payloads with every merged-track landmine class
+    deliberately seeded (dist/soak._uncurated_payload).  The reference
+    holds a GR stream open indefinitely (lib/demod_impl.cc:130) — this
+    is the bounded-memory evidence at gateway duty."""
     import jax
 
     from gr_lora_tpu import LoraConfig

@@ -27,11 +27,14 @@ magnitudes lane-REVERSED.  Reversal is a static permutation; ``rev=``
 selects jnp.flip (Mosaic lane shuffle) or a per-128-block anti-identity
 matmul fallback (exact: each output lane sums one product).
 
-Numerics: identical bf16-input / f32-accumulate class as pallas_direct —
-the dechirp product and window are applied in f32 and rounded to bf16
-once, where the direct kernel rounds the chirp-times-exponential weight
-once.  Reference hot loop: pyramid_demod_impl.cc:569-603; fold landmine
-notes: ops/dechirp.py.
+Numerics: identical bf16-dot / f32-accumulate class as pallas_direct —
+raw samples stay f32 through frame assembly (in VMEM since r5,
+_split_hops/_assemble: HBM reads each sample once and the old
+frame-materializing XLA prologue is gone) and the dechirp product and
+window are applied in f32 and rounded to bf16 once, where the direct
+kernel rounds the chirp-times-exponential weight once.  Reference hot
+loop: pyramid_demod_impl.cc:569-603; fold landmine notes:
+ops/dechirp.py.
 """
 
 from __future__ import annotations
@@ -91,7 +94,10 @@ def _reverse(x, k, rev):
     bf16 rounding of the mirror magnitudes (~0.4 % — far inside the
     bf16 front-end's existing error class); cost ~3 % of the main dots.
     'flip' (jnp.flip) is kept for interpret mode / future Mosaic
-    support."""
+    support.  'none' skips the permutation (WRONG fold — diagnostic
+    only, for isolating the reversal's cost in tools/kernel_ab.py)."""
+    if rev == "none":
+        return x
     if rev == "flip":
         return jnp.flip(x, axis=-1)
     ri = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
@@ -104,9 +110,64 @@ def _reverse(x, k, rev):
     return jnp.concatenate(blocks, axis=-1)
 
 
-def _components(x_ref, w_ref, c_ref, *, n, kp, fuse):
-    """Shared dot stage: bf16 frame tile -> the four [ft, 2kp] f32 DFT
-    component pairs (R, I for the plain and windowed dechirped frame).
+def _split_hops(iq, fpad, hop):
+    """iq f32[T, 2] -> hop rows f32[fpad + 8, 2*hop]: row j = [re | im]
+    of hop-chunk j (zero-padded past T).  One cheap relayout pass — the
+    kernel reads these rows once and assembles overlapped frames in
+    VMEM (_assemble)."""
+    need = (fpad + _R) * hop
+    pad = max(need - iq.shape[0], 0)
+    x = jnp.pad(iq, ((0, pad), (0, 0)))[:need]
+    xs = x.reshape(fpad + _R, hop, 2)
+    return jnp.concatenate([xs[..., 0], xs[..., 1]], axis=-1)
+
+
+def _hop_specs(ft, hop):
+    """BlockSpecs over the _split_hops layout: the main [ft, 2*hop]
+    tile plus an [8, 2*hop] halo (the next 8 hop rows) — two views of
+    the SAME array, since BlockSpec offsets are block-granular and an
+    overlapping [ft + 8] window has no block-unit stride."""
+    assert ft % _R == 0
+    return (pl.BlockSpec((ft, 2 * hop), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_R, 2 * hop), lambda i: ((i + 1) * ft // _R, 0),
+                         memory_space=pltpu.VMEM))
+
+
+def _assemble(m_ref, h_ref, xr_scr, xi_scr, *, ft, hop, n):
+    """Overlapped-frame assembly IN VMEM (r5): main block [ft, 2*hop]
+    f32 (hop-chunk rows, [re | im] lanes) + halo block [8, 2*hop] (the
+    next 8 hop rows) -> (xr, xi) [ft, n] f32 frame tiles in scratch.
+    Row-shifted static slices stored at static lane offsets replace the
+    old XLA frame-assembly prologue, whose serial HBM pass (f32 gather
+    per element + bf16 write, ~117 MB at 16k frames) was the largest
+    non-roofline term in the measured wall (bench.rdft_cost r5); HBM now
+    reads each input sample once, and the raw samples stay f32 until the
+    dechirp product's single bf16 rounding (one rounding, not two).
+    Scratch stores, not jnp.concatenate: Mosaic's concat rejects
+    operands whose sublane/lane vpad offsets differ off the concat dim
+    ('result/input offset mismatch'), while its store path relayouts
+    each shifted slice."""
+    r_ = n // hop
+    m = m_ref[:, :]
+    h = h_ref[:, :]
+    for r in range(r_):
+        lo, hi = r * hop, (r + 1) * hop
+        if r == 0:
+            xr_scr[:, lo:hi] = m[:, :hop]
+            xi_scr[:, lo:hi] = m[:, hop:]
+        else:
+            xr_scr[:ft - r, lo:hi] = m[r:, :hop]
+            xi_scr[:ft - r, lo:hi] = m[r:, hop:]
+            xr_scr[ft - r:, lo:hi] = h[:r, :hop]
+            xi_scr[ft - r:, lo:hi] = h[:r, hop:]
+    return xr_scr[...], xi_scr[...]
+
+
+def _components(xr, xi, w_ref, c_ref, *, n, kp, fuse):
+    """Shared dot stage: f32 frame tile components -> the four [ft, 2kp]
+    f32 DFT component pairs (R, I for the plain and windowed dechirped
+    frame).
 
     ``fuse``: stack the four real input rows into ONE [4*ft, n] dot
     (they share the weight block) — a 4x taller MXU shape that pays off
@@ -114,8 +175,6 @@ def _components(x_ref, w_ref, c_ref, *, n, kp, fuse):
     dr = c_ref[0:1, :]
     di = c_ref[1:2, :]
     win = c_ref[2:3, :]
-    xr = x_ref[:, :n].astype(jnp.float32)
-    xi = x_ref[:, n:].astype(jnp.float32)
     # Dechirp in f32, one bf16 rounding per operand (module doc).
     ur = xr * dr - xi * di
     ui = xr * di + xi * dr
@@ -144,9 +203,10 @@ def _recombine(y1, y2, *, k, kp, rev):
     return mpos, _reverse(g, k, rev)                   # g_rev[j] = |X(j-K)|
 
 
-def _kernel(x_ref, w_ref, c_ref, fa_ref, faw_ref, hs_ref, *, n, k, kp, rev,
-            fuse):
-    yu1, yu2, yw1, yw2 = _components(x_ref, w_ref, c_ref, n=n, kp=kp,
+def _kernel(m_ref, h_ref, w_ref, c_ref, fa_ref, faw_ref, hs_ref, xr_scr,
+            xi_scr, *, ft, hop, n, k, kp, rev, fuse):
+    xr, xi = _assemble(m_ref, h_ref, xr_scr, xi_scr, ft=ft, hop=hop, n=n)
+    yu1, yu2, yw1, yw2 = _components(xr, xi, w_ref, c_ref, n=n, kp=kp,
                                      fuse=fuse)
     m0, m1 = _recombine(yu1, yu2, k=k, kp=kp, rev=rev)
     fa_ref[:, :] = m0 + m1
@@ -177,14 +237,14 @@ def make_rdft_spectra(cfg: LoraConfig, num_frames: int,
         # dot is already 4*ft rows tall).
         frame_tile = 128 if fuse else 256
     ft = min(frame_tile, max(8, num_frames))
+    assert ft % 8 == 0
     nft = -(-num_frames // ft)
     fpad = nft * ft
     w_all = _rdft_weights(cfg)
     c_all = _consts(cfg)
 
     grid = (nft,)
-    x_spec = pl.BlockSpec((ft, 2 * n), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
+    m_spec, h_spec = _hop_specs(ft, hop)
     w_spec = pl.BlockSpec((n, 2 * kp), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((8, n), lambda i: (0, 0),
@@ -193,28 +253,23 @@ def make_rdft_spectra(cfg: LoraConfig, num_frames: int,
                             memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
-        partial(_kernel, n=n, k=k, kp=kp, rev=rev, fuse=fuse),
+        partial(_kernel, ft=ft, hop=hop, n=n, k=k, kp=kp, rev=rev,
+                fuse=fuse),
         grid=grid,
-        in_specs=[x_spec, w_spec, c_spec],
+        in_specs=[m_spec, h_spec, w_spec, c_spec],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=tuple(jax.ShapeDtypeStruct((fpad, k), jnp.float32)
                         for _ in range(3)),
+        scratch_shapes=[pltpu.VMEM((ft, n), jnp.float32),
+                        pltpu.VMEM((ft, n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
     def run(iq):
-        need = (fpad + _R - 1) * hop + hop
-        pad = max(need - iq.shape[0], 0)
-        x = jnp.pad(iq, ((0, pad), (0, 0)))
-        chunks = x[: (fpad + _R - 1) * hop].reshape(-1, hop, 2)
-        frames = jnp.stack(
-            [jax.lax.slice_in_dim(chunks, r, r + fpad, axis=0)
-             for r in range(_R)], axis=1).reshape(fpad, n, 2)
-        xp = jnp.concatenate([frames[..., 0], frames[..., 1]],
-                             axis=-1).astype(jnp.bfloat16)
-        fa, faw, hs = call(xp, w_all, c_all)
+        xs = _split_hops(iq, fpad, hop)
+        fa, faw, hs = call(xs, xs, w_all, c_all)
         return fa[:num_frames], faw[:num_frames], hs[:num_frames]
 
     return jax.jit(run)
@@ -231,14 +286,17 @@ def rdft_peaks_supported(cfg: LoraConfig) -> bool:
     return cfg.num_samples * (cfg.bin_size + _LANE) <= (1 << 20) + (1 << 18)
 
 
-def _peaks_kernel(x_ref, w_ref, c_ref, val_ref, bin_ref, h_ref, hs_ref, ws,
-                  *, n, k, kp, kt, max_peaks, threshold, rev, fuse):
+def _peaks_kernel(m_ref, hal_ref, w_ref, c_ref, val_ref, bin_ref, h_ref,
+                  hs_ref, ws, xr_scr, xi_scr, *, ft, hop, n, k, kp, kt,
+                  max_peaks, threshold, rev, fuse):
     """Full-K spectra in VMEM (same math as _kernel), then the pyramid
     peak epilogue — strict cyclic local max + threshold + top-M — per
-    128-bin block while everything is live; only [nkt, ft, M] candidates
+    kt-bin block while everything is live; only [nkt, ft, M] candidates
     reach HBM.  Mirrors ops/pallas_direct._peaks_kernel (reference
     epilogue: pyramid_demod_impl.cc:225-272) on half the MXU work."""
-    yu1, yu2, yw1, yw2 = _components(x_ref, w_ref, c_ref, n=n, kp=kp,
+    xr, xi = _assemble(m_ref, hal_ref, xr_scr, xi_scr, ft=ft, hop=hop,
+                       n=n)
+    yu1, yu2, yw1, yw2 = _components(xr, xi, w_ref, c_ref, n=n, kp=kp,
                                      fuse=fuse)
     m0, m1 = _recombine(yu1, yu2, k=k, kp=kp, rev=rev)
     fa = m0 + m1
@@ -248,7 +306,6 @@ def _peaks_kernel(x_ref, w_ref, c_ref, val_ref, bin_ref, h_ref, hs_ref, ws,
 
     # Cyclic neighbors via a (K+2)-wide pad (find_and_add_peak :229-235).
     fawp = jnp.concatenate([faw[:, k - 1:k], faw, faw[:, 0:1]], axis=-1)
-    ft = faw.shape[0]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (ft, kt), 1)
     for j in range(k // kt):
         c0 = j * kt
@@ -291,8 +348,9 @@ def make_rdft_peaks(cfg: LoraConfig, num_frames: int, max_peaks: int = 8,
     (bins int32[H, M], h f32[H, M], h_single f32[H, M], valid bool[H, M])
     — the models/pyramid.peak_lattice_fn contract with BOTH the rDFT
     recombination (half the MXU work of ops/pallas_direct.
-    make_direct_peaks) and the in-VMEM peak search; HBM sees bf16 frames
-    in, ~nkt*M*16 B/hop of candidates out."""
+    make_direct_peaks) and the in-VMEM peak search; HBM reads each raw
+    f32 sample once (hop rows + halo, _split_hops/_assemble) and sees
+    only ~nkt*M*16 B/hop of candidates out."""
     n = cfg.num_samples
     k = cfg.bin_size
     kp = k + _LANE
@@ -312,6 +370,7 @@ def make_rdft_peaks(cfg: LoraConfig, num_frames: int, max_peaks: int = 8,
     if fuse is None:
         fuse = k <= 1024
     ft = min(frame_tile, max(8, num_frames))
+    assert ft % 8 == 0
     nft = -(-num_frames // ft)
     fpad = nft * ft
     nkt = k // kt
@@ -320,8 +379,7 @@ def make_rdft_peaks(cfg: LoraConfig, num_frames: int, max_peaks: int = 8,
     threshold = float(cfg.threshold)
 
     grid = (nft,)
-    x_spec = pl.BlockSpec((ft, 2 * n), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
+    m_spec, h_spec = _hop_specs(ft, hop)
     w_spec = pl.BlockSpec((n, 2 * kp), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((8, n), lambda i: (0, 0),
@@ -330,11 +388,11 @@ def make_rdft_peaks(cfg: LoraConfig, num_frames: int, max_peaks: int = 8,
                              memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
-        partial(_peaks_kernel, n=n, k=k, kp=kp, kt=kt,
+        partial(_peaks_kernel, ft=ft, hop=hop, n=n, k=k, kp=kp, kt=kt,
                 max_peaks=max_peaks, threshold=threshold, rev=rev,
                 fuse=fuse),
         grid=grid,
-        in_specs=[x_spec, w_spec, c_spec],
+        in_specs=[m_spec, h_spec, w_spec, c_spec],
         out_specs=(cand_spec,) * 4,
         out_shape=(
             jax.ShapeDtypeStruct((nkt, fpad, max_peaks), jnp.float32),
@@ -342,23 +400,17 @@ def make_rdft_peaks(cfg: LoraConfig, num_frames: int, max_peaks: int = 8,
             jax.ShapeDtypeStruct((nkt, fpad, max_peaks), jnp.float32),
             jax.ShapeDtypeStruct((nkt, fpad, max_peaks), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((ft, kt), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ft, kt), jnp.float32),
+                        pltpu.VMEM((ft, n), jnp.float32),
+                        pltpu.VMEM((ft, n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
     def run(iq):
-        need = (fpad + _R - 1) * hop + hop
-        pad = max(need - iq.shape[0], 0)
-        x = jnp.pad(iq, ((0, pad), (0, 0)))
-        chunks = x[: (fpad + _R - 1) * hop].reshape(-1, hop, 2)
-        frames = jnp.stack(
-            [jax.lax.slice_in_dim(chunks, r, r + fpad, axis=0)
-             for r in range(_R)], axis=1).reshape(fpad, n, 2)
-        xp = jnp.concatenate([frames[..., 0], frames[..., 1]],
-                             axis=-1).astype(jnp.bfloat16)
-        outs = call(xp, w_all, c_all)
+        xs = _split_hops(iq, fpad, hop)
+        outs = call(xs, xs, w_all, c_all)
         vals, bins, h, hs = (
             jnp.moveaxis(o, 0, 1).reshape(fpad, nkt * max_peaks)
             for o in outs)

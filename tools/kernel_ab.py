@@ -74,6 +74,10 @@ def main():
         "rdft_fuse_ft128": lambda: make_rdft_spectra(cfg, args.frames,
                                                      frame_tile=128,
                                                      fuse=True),
+        # Diagnostic: reversal skipped (WRONG fold) — its wall delta vs
+        # plain rdft is the per-128-block anti-identity matmuls' cost.
+        "rdft_norev": lambda: make_rdft_spectra(cfg, args.frames,
+                                                rev="none"),
         "direct_peaks": lambda: make_direct_peaks(cfg, args.frames, 8),
         "rdft_peaks": lambda: make_rdft_peaks(cfg, args.frames, 8),
         "rdft_peaks_ft128": lambda: make_rdft_peaks(cfg, args.frames, 8,
