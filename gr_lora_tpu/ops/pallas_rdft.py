@@ -281,9 +281,12 @@ def make_rdft_spectra(cfg: LoraConfig, num_frames: int,
 
 def rdft_peaks_supported(cfg: LoraConfig) -> bool:
     """The single-tile rDFT plan needs the [n, 2*(K+128)] bf16 weight
-    block plus two [ft, 2*(K+128)] f32 accumulators resident in ~16 MB of
-    VMEM (module doc)."""
-    return cfg.num_samples * (cfg.bin_size + _LANE) <= (1 << 20) + (1 << 18)
+    block (4*n*kp bytes) plus the four [ft, 2*kp] f32 accumulators, the
+    [ft, n] assembly scratches and the [ft, K] top-M workspace resident
+    in VMEM at once.  Cap raised r5 to admit the SF9 collision zoom
+    (n*kp = 4.33 M -> ~45 MB at ft=128, measured compiling and running
+    on the v5e; SF10's 67 MB weight block alone does not leave room)."""
+    return cfg.num_samples * (cfg.bin_size + _LANE) <= 4_500_000
 
 
 def _peaks_kernel(m_ref, hal_ref, w_ref, c_ref, val_ref, bin_ref, h_ref,

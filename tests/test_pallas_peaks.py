@@ -81,14 +81,19 @@ def test_fused_rdft_matches_rdft_backend():
 @pytest.mark.parametrize("sf", [9, 10])
 def test_fused_overlap_matches_fast_backend(sf):
     """make_overlap_peaks == overlap-decomposed spectra + XLA peak
-    epilogue (both f32) — identical peak sets, heights to float rounding."""
+    epilogue (both f32) — identical peak sets, heights to float rounding.
+    The kernel is pinned directly: since the r5 cap raise the 'fused'
+    dispatch prefers the (bf16-class) rDFT kernel at SF9, which
+    tests/test_pallas_rdft.py covers at its own tier."""
+    from gr_lora_tpu.ops.pallas_peaks import make_overlap_peaks
+
     ldr = (1 << sf) / 125e3 > 16e-3
     cfg = LoraConfig(sf=sf, cr=1, crc=True, ldr=ldr, explicit_header=True,
                      payload_len=4, fft_factor=8, threshold=5.0)
     iq, total = _fixture(cfg, seed=sf, tail=12)
     nh = num_hops_for(cfg, total)
     ref = jax.jit(peak_lattice_fn(cfg, nh, 8, "fast"))
-    fused = jax.jit(peak_lattice_fn(cfg, nh, 8, "fused"))
+    fused = jax.jit(make_overlap_peaks(cfg, nh, 8, interpret=True))
     _assert_equiv(_peak_sets(ref(iq)), _peak_sets(fused(iq)), rtol=1e-5)
 
 

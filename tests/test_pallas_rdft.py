@@ -129,6 +129,33 @@ def test_fused_backend_dispatches_to_rdft():
     assert bins.shape == (nh, 8) and valid.any()
 
 
+def test_rdft_peaks_sf9_collision_zoom():
+    """r5 cap raise: the SF9 x ff=8 plan (n*kp = 4.33 M, the largest
+    admitted) must dispatch to the rDFT kernel and agree with the
+    spectra + XLA-epilogue tier."""
+    from gr_lora_tpu.models.pyramid import peak_lattice_fn
+    from gr_lora_tpu.ops.pallas_rdft import (make_rdft_peaks,
+                                             rdft_peaks_supported)
+
+    cfg = LoraConfig(sf=9, cr=1, crc=True, ldr=False, explicit_header=True,
+                     payload_len=4, p=2, fft_factor=8, threshold=5.0,
+                     precision="bf16")
+    assert rdft_peaks_supported(cfg)
+    assert not rdft_peaks_supported(cfg.replace(sf=10))
+    iq = _signal(cfg)
+    n = cfg.num_samples
+    nh = (iq.shape[0] - n) // (n // 8)
+    ref = jax.jit(peak_lattice_fn(cfg, nh, 8, "rdft"))
+    got = jax.jit(make_rdft_peaks(cfg, nh, 8, frame_tile=64,
+                                  interpret=True))
+    rb, rh, rhs, rv = (np.asarray(x) for x in ref(jnp.asarray(iq)))
+    gb, gh, ghs, gv = (np.asarray(x) for x in got(jnp.asarray(iq)))
+    assert rv.any()
+    assert np.array_equal(rv, gv)
+    assert np.array_equal(rb[rv], gb[gv])
+    np.testing.assert_allclose(rh[rv], gh[gv], rtol=1e-6)
+
+
 def test_rdft_ragged_frames_and_short_input():
     """num_frames not a multiple of frame_tile; frames past the capture
     end are zero-padded, never wrapped."""

@@ -136,3 +136,43 @@ def test_python_tracker_agrees(ratio):
     b = _pdus(sic_symbol_streams(iq, CFG, grace=8))
     assert a == b
     assert {PDU1, PDU2} <= a
+
+
+def test_known_fast_path_skips_dense_passes(monkeypatch):
+    """r5 gateway fast path: with the tracker's packets passed as
+    ``known`` and the residual gate on, a fully-explained window runs
+    ZERO dense demod passes — only the cancellations — while a window
+    with unexplained residual (the masked-preamble case) still falls
+    through to the full loop and recovers the collider."""
+    from gr_lora_tpu.models import sic as sic_mod
+
+    calls = {"n": 0}
+    real = sic_mod._demod_pass
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sic_mod, "_demod_pass", counting)
+
+    # Single clean packet, known: explained after one subtraction.
+    n = CFG.num_samples
+    p1 = modulate(encode(PAY1, CFG), CFG, pad_front=0, pad_back=0)
+    iq = np.zeros(1000 + len(p1) + 12 * n, np.complex64)
+    iq[1000:1000 + len(p1)] += (0.2 * p1).astype(np.complex64)
+    # Tracker-convention timestamp (~7 symbols past the packet start) —
+    # what the gateway's tracker results carry (models/sic._align hint).
+    known = [(1000 + 7 * n, np.asarray(encode(PAY1, CFG), np.uint16))]
+    pkts = sic_demodulate(iq, CFG, known=known, residual_gate=0.02,
+                          fast_align=True)
+    assert _pdus([q.symbols for q in pkts]) == {PDU1}
+    assert calls["n"] == 0
+
+    # Masked-preamble collision (hop-aligned, ratio 0.2): the strong
+    # packet alone leaves ~3.8 % unexplained -> dense passes run and the
+    # weak PDU is recovered.
+    iq2 = _mk_collision(1000 + 16 * n, 0.2)
+    pkts2 = sic_demodulate(iq2, CFG, known=known, residual_gate=0.02,
+                           fast_align=True)
+    assert calls["n"] >= 1
+    assert {PDU1, PDU2} <= _pdus([q.symbols for q in pkts2])

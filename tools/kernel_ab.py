@@ -28,6 +28,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=int, default=8)
     ap.add_argument("--ff", type=int, default=8)
     ap.add_argument("--frames", type=int, default=4096)
     ap.add_argument("--rounds", type=int, default=5)
@@ -42,9 +43,9 @@ def main():
     from gr_lora_tpu.ops.pallas_direct import make_direct_spectra
     from gr_lora_tpu.ops.pallas_rdft import make_rdft_spectra
 
-    cfg = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
-                     payload_len=8, p=2, fft_factor=args.ff, threshold=5.0,
-                     precision="bf16")
+    cfg = LoraConfig(sf=args.sf, cr=1, crc=True, ldr=False,
+                     explicit_header=True, payload_len=8, p=2,
+                     fft_factor=args.ff, threshold=5.0, precision="bf16")
     hop = cfg.num_samples // 8
     total = (args.frames + 8) * hop
     rng = np.random.default_rng(0)
