@@ -313,6 +313,17 @@ class TriggeredPyramidGateway:
                 outs.append(fn(self._zeros((eb, win, 2))))
                 eb <<= 1
             jax.device_get(jax.tree.map(lambda x: x[0], outs))
+            if self._sic:
+                # The SIC fast path probes tone peaks via jitted up/down
+                # programs (models/sic._peak_fns); compile them now too —
+                # each costs ~10-25 s through the axon remote compiler
+                # (the zoom-DFT weight constants ride in the program).
+                import jax.numpy as jnp
+
+                from ..models.sic import _peak_fns
+                up, down = _peak_fns(st.cfg)
+                w = jnp.zeros((st.cfg.num_samples, 2), jnp.float32)
+                jax.device_get((up(w), down(w)))
 
     def _win_samples(self, st: _SFState) -> int:
         n = st.cfg.num_samples

@@ -43,6 +43,24 @@ from ..ops.cplx import to_ri
 
 
 @lru_cache(maxsize=None)
+def _peak_fns(cfg: LoraConfig):
+    """Jitted single-call up/down folded-peak programs per config.
+
+    Through the axon tunnel an EAGER ops/dechirp.up_peak call dispatches
+    every jnp op as its own remote round trip — measured 4-20 s per
+    _align_fast call (tools/sic_profile.py r5), which made gateway-scale
+    SIC time out.  One jit per direction makes a tone probe one
+    dispatch.  Two separate programs on purpose: a fused up+down jit
+    embeds both zoom-DFT weight constants and exceeds the axon
+    remote-compile body limit at high SF."""
+    import jax
+
+    from ..ops.dechirp import down_peak, up_peak
+    return (jax.jit(lambda w, _c=cfg: up_peak(w, _c)),
+            jax.jit(lambda w, _c=cfg: down_peak(w, _c)))
+
+
+@lru_cache(maxsize=None)
 def _blocked_lattice(cfg, nh, max_peaks, backend, block_hops):
     """Cached jit of the hop-blocked lattice: the gateway SIC path calls
     _demod_pass once per dispatched window, and an uncached jax.jit here
@@ -205,8 +223,7 @@ def _align_fast(residual: np.ndarray, tmpl: np.ndarray, cfg: LoraConfig,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.dechirp import down_peak, up_peak
-
+    up_fn, down_fn = _peak_fns(cfg)
     n = cfg.num_samples
     k = cfg.bin_size
     hint = pre_ts - 7 * n
@@ -218,8 +235,7 @@ def _align_fast(residual: np.ndarray, tmpl: np.ndarray, cfg: LoraConfig,
         if s < 0 or s + n > residual.shape[0]:
             return None
         w = jnp.asarray(to_ri(np.ascontiguousarray(residual[s:s + n])))
-        idx, _ = jax.device_get(
-            (up_peak if kind == "up" else down_peak)(w, cfg))
+        idx, _ = jax.device_get((up_fn if kind == "up" else down_fn)(w))
         b = int(idx)
         return b - k if b > k // 2 else b
 
@@ -240,8 +256,7 @@ def _align_fast(residual: np.ndarray, tmpl: np.ndarray, cfg: LoraConfig,
     # and exceeds the axon remote-compile body limit at high SF.
     wu = jnp.asarray(to_ri(np.ascontiguousarray(residual[su:su + n])))
     wd = jnp.asarray(to_ri(np.ascontiguousarray(residual[sd:sd + n])))
-    (ui, _), (di, _) = jax.device_get((up_peak(wu, cfg),
-                                       down_peak(wd, cfg)))
+    (ui, _), (di, _) = jax.device_get((up_fn(wu), down_fn(wd)))
     u = int(ui)
     u = u - k if u > k // 2 else u
     d = int(di)
@@ -343,8 +358,6 @@ def _reextract(clean: np.ndarray, cfg: LoraConfig, start: int,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.dechirp import up_peak
-
     n = cfg.num_samples
     pay0 = start + (49 * n) // 4          # payload begins after 12.25 syms
     if pay0 + nsym * n > clean.shape[0] or start < 0:
@@ -354,7 +367,7 @@ def _reextract(clean: np.ndarray, cfg: LoraConfig, start: int,
     wins = [clean[start + k * n: start + (k + 1) * n] for k in range(1, 6)]
     wins += [clean[pay0 + k * n: pay0 + (k + 1) * n] for k in range(nsym)]
     ri = to_ri(np.ascontiguousarray(np.stack(wins)))
-    idx, _ = jax.device_get(up_peak(jnp.asarray(ri), cfg))
+    idx, _ = jax.device_get(_peak_fns(cfg)[0](jnp.asarray(ri)))
     idx = np.asarray(idx, np.int64)
     pre_bin = int(np.median(idx[:5]))
     k_bins = (1 << cfg.sf) * cfg.fft_factor
