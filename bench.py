@@ -239,6 +239,11 @@ def main():
                          "cancellation on decoded windows "
                          "(TriggeredPyramidGateway(sic=True)); its wall "
                          "cost is reported in the split")
+    ap.add_argument("--sic-gate", type=float, default=0.02,
+                    help="north_star --sic: residual-energy fraction "
+                         "above which a window runs the full "
+                         "subtract-and-re-read loop (2%% keeps the "
+                         "66/66 envelope; see dist/collision_gateway)")
     ap.add_argument("--tracker", choices=["host", "device"], default="host",
                     help="pyramid_gateway / north_star: peak tracking on "
                          "the host (native C++ bank, lattice fetched) or "
@@ -1285,7 +1290,7 @@ def bench_north_star(args, emit=True):
                                  tracker=args.tracker,
                                  event_batch=args.event_batch,
                                  scan_precision=args.scan_precision,
-                                 sic=args.sic)
+                                 sic=args.sic, sic_gate=args.sic_gate)
 
     # Fixture: golden SF8 collision on every channel (both PDUs known
     # byte-exact) + one single packet at a per-channel round-robin SF.
