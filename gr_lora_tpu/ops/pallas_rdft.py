@@ -236,8 +236,11 @@ def make_rdft_spectra(cfg: LoraConfig, num_frames: int,
         # 398 Msps; ff=2 fuse ft128 1277 vs ft256 1238 Msps (the fused
         # dot is already 4*ft rows tall).
         frame_tile = 128 if fuse else 256
-    ft = min(frame_tile, max(8, num_frames))
-    assert ft % 8 == 0
+    # Rounded UP to a multiple of _R: the halo BlockSpec indexes in
+    # 8-row units (_hop_specs), and short plans (num_frames < frame_tile
+    # and not a multiple of 8 — small pyramid_demodulate buffers) must
+    # still build; the padding rows are zero-fed and sliced off.
+    ft = min(frame_tile, -(-max(8, num_frames) // _R) * _R)
     nft = -(-num_frames // ft)
     fpad = nft * ft
     w_all = _rdft_weights(cfg)
@@ -372,8 +375,8 @@ def make_rdft_peaks(cfg: LoraConfig, num_frames: int, max_peaks: int = 8,
         frame_tile = 256        # A/B r5: 108 vs 101 Msps over ft=128
     if fuse is None:
         fuse = k <= 1024
-    ft = min(frame_tile, max(8, num_frames))
-    assert ft % 8 == 0
+    # Rounded UP to a multiple of _R — see make_rdft_spectra.
+    ft = min(frame_tile, -(-max(8, num_frames) // _R) * _R)
     nft = -(-num_frames // ft)
     fpad = nft * ft
     nkt = k // kt

@@ -172,3 +172,18 @@ def test_rdft_ragged_frames_and_short_input():
     rfa, _, _ = _xla_spectra(iq, CFG, ref_num)
     scale = np.abs(rfa).max()
     assert np.max(np.abs(rfa - fa[:ref_num])) < 5e-3 * scale
+
+
+@pytest.mark.parametrize("num", [8, 9, 20, 63])
+def test_rdft_short_plans_build(num):
+    """num_frames below one frame tile and NOT a multiple of 8 (small
+    pyramid_demodulate buffers): the halo BlockSpec indexes in 8-row
+    units, so the tile is rounded up and the padding sliced off."""
+    from gr_lora_tpu.ops.pallas_rdft import make_rdft_peaks
+
+    iq = _signal()
+    fn = make_rdft_spectra(CFG, num, interpret=True)
+    fa, faw, hs = fn(jnp.asarray(iq))
+    assert fa.shape == (num, CFG.bin_size)
+    pk = make_rdft_peaks(CFG, num, 8, interpret=True)
+    assert np.asarray(pk(jnp.asarray(iq))[0]).shape == (num, 8)
