@@ -239,11 +239,14 @@ def main():
                          "cancellation on decoded windows "
                          "(TriggeredPyramidGateway(sic=True)); its wall "
                          "cost is reported in the split")
-    ap.add_argument("--sic-gate", type=float, default=0.02,
+    ap.add_argument("--sic-gate", default=0.02,
+                    type=lambda s: None if s.lower() == "none"
+                    else float(s),
                     help="north_star --sic: residual-energy fraction "
                          "above which a window runs the full "
                          "subtract-and-re-read loop (2%% keeps the "
-                         "66/66 envelope; see dist/collision_gateway)")
+                         "66/66 envelope; 'none' = unconditional full "
+                         "loop; see dist/collision_gateway)")
     ap.add_argument("--tracker", choices=["host", "device"], default="host",
                     help="pyramid_gateway / north_star: peak tracking on "
                          "the host (native C++ bank, lattice fetched) or "
@@ -346,6 +349,13 @@ def main():
                 fr[f"ff{ff}"] = round(res["rdft"]["frac"], 3)
                 fr[f"ff{ff}_fused"] = round(res["fused"]["frac"], 3)
             fr["bar"] = 0.90
+            below = [k for k, v in fr.items()
+                     if k != "bar" and v < fr["bar"]]
+            if below:
+                # The artifact must not die on a bad-weather reading
+                # (assert_floors=False above), but a sub-bar fraction
+                # must be VISIBLE in the driver JSON, not just absent.
+                fr["below_bar"] = below
             line["speed_of_light_fraction"] = fr
         except Exception as e:
             line["speed_of_light_fraction"] = {
@@ -959,14 +969,17 @@ def bench_per(args):
                 assert wfw >= ideal_weak - _ANCHOR_TOL_BELOW_IDEAL_DB, \
                     f"{k2}: measured {wfw} beats the 2-copy ideal bound" \
                     f" {ideal_weak} — measurement bug"
-                if (name == "weak_ldronly" or ldr) \
-                        and sf in _WEAK_LDRONLY_MARGIN_DB:
-                    band = _WEAK_LDRONLY_MARGIN_DB[sf] + _WEAK_TOL_SLACK_DB
+                if name == "weak_ldronly" or ldr:
+                    # Recorded per-SF margin + slack; SFs without a
+                    # recorded margin (the LDR SFs, whose waterfall is
+                    # normally unresolvable — PER 0 across the sweep)
+                    # keep the old coarse 7 dB band as a backstop.
+                    margin = _WEAK_LDRONLY_MARGIN_DB.get(sf, 5.5)
+                    band = margin + _WEAK_TOL_SLACK_DB
                     assert wfw <= ideal_weak + band, \
                         f"{k2}: measured {wfw} vs 2-copy ideal" \
-                        f" {ideal_weak} exceeds the recorded" \
-                        f" {_WEAK_LDRONLY_MARGIN_DB[sf]} dB margin +" \
-                        f" {_WEAK_TOL_SLACK_DB} dB slack"
+                        f" {ideal_weak} exceeds the {margin} dB margin" \
+                        f" + {_WEAK_TOL_SLACK_DB} dB slack band"
     if anchors:
         _write_per_artifact(args, curves, anchors)
         print(f"# anchors: {json.dumps(anchors)}", file=sys.stderr)

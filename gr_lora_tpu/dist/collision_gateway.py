@@ -318,8 +318,6 @@ class TriggeredPyramidGateway:
                 # programs (models/sic._peak_fns); compile them now too —
                 # each costs ~10-25 s through the axon remote compiler
                 # (the zoom-DFT weight constants ride in the program).
-                import jax.numpy as jnp
-
                 from ..models.sic import _peak_fns
                 up, down = _peak_fns(st.cfg)
                 w = jnp.zeros((st.cfg.num_samples, 2), jnp.float32)

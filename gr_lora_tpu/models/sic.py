@@ -366,9 +366,18 @@ def _reextract(clean: np.ndarray, cfg: LoraConfig, start: int,
     # integer CFO, cheap, and windows 1-5 are guaranteed clean upchirps.
     wins = [clean[start + k * n: start + (k + 1) * n] for k in range(1, 6)]
     wins += [clean[pay0 + k * n: pay0 + (k + 1) * n] for k in range(nsym)]
+    m = len(wins)
+    # Bucket the batch dimension to multiples of 16: the jitted peak
+    # program compiles per shape, and through the axon remote compiler
+    # a fresh (5+nsym)-row shape costs ~10-25 s in the serving path —
+    # bucketing bounds that to once per 16-symbol payload class.
+    mp = -(-m // 16) * 16
     ri = to_ri(np.ascontiguousarray(np.stack(wins)))
+    if mp != m:
+        ri = np.concatenate(
+            [ri, np.zeros((mp - m,) + ri.shape[1:], ri.dtype)])
     idx, _ = jax.device_get(_peak_fns(cfg)[0](jnp.asarray(ri)))
-    idx = np.asarray(idx, np.int64)
+    idx = np.asarray(idx, np.int64)[:m]
     pre_bin = int(np.median(idx[:5]))
     k_bins = (1 << cfg.sf) * cfg.fft_factor
     bins = (idx[5:] - pre_bin) % k_bins
@@ -548,6 +557,14 @@ def sic_demodulate(iq, cfg: LoraConfig, max_passes: int = 3,
             e_res = float(np.vdot(residual, residual).real)
             if e_res < residual_gate * e0:
                 break
+            if p == 0 and known is not None:
+                # Gate FAILED on the known-packet pass: unexplained
+                # energy remains, so force at least one dense pass even
+                # if nothing subtracted or refined (a known that fails
+                # to align leaves progressed=False, but the dense pass's
+                # self-derived timestamps may still recover the window —
+                # the documented fall-through).
+                continue
         if not progressed:
             break
     out.sort(key=lambda q: q.position)

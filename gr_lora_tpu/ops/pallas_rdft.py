@@ -240,7 +240,7 @@ def make_rdft_spectra(cfg: LoraConfig, num_frames: int,
     # 8-row units (_hop_specs), and short plans (num_frames < frame_tile
     # and not a multiple of 8 — small pyramid_demodulate buffers) must
     # still build; the padding rows are zero-fed and sliced off.
-    ft = min(frame_tile, -(-max(8, num_frames) // _R) * _R)
+    ft = -(-min(frame_tile, max(8, num_frames)) // _R) * _R
     nft = -(-num_frames // ft)
     fpad = nft * ft
     w_all = _rdft_weights(cfg)
@@ -286,10 +286,13 @@ def rdft_peaks_supported(cfg: LoraConfig) -> bool:
     """The single-tile rDFT plan needs the [n, 2*(K+128)] bf16 weight
     block (4*n*kp bytes) plus the four [ft, 2*kp] f32 accumulators, the
     [ft, n] assembly scratches and the [ft, K] top-M workspace resident
-    in VMEM at once.  Cap raised r5 to admit the SF9 collision zoom
-    (n*kp = 4.33 M -> ~45 MB at ft=128, measured compiling and running
-    on the v5e; SF10's 67 MB weight block alone does not leave room)."""
-    return cfg.num_samples * (cfg.bin_size + _LANE) <= 4_500_000
+    in VMEM at once.  Cap raised r5 to admit the SF9 collision zoom —
+    n*kp = 4,325,376, ~45 MB at ft=128, the largest admitted point,
+    measured compiling and running on the v5e (tools/kernel_ab.py
+    --sf 9: 230 Msps) — and set just above it so no UNvalidated larger
+    shape (e.g. SF10 x ff=2 at 4.46 M) slips in; SF10 x ff=8's 67 MB
+    weight block alone does not leave room."""
+    return cfg.num_samples * (cfg.bin_size + _LANE) <= 4_350_000
 
 
 def _peaks_kernel(m_ref, hal_ref, w_ref, c_ref, val_ref, bin_ref, h_ref,
@@ -376,7 +379,7 @@ def make_rdft_peaks(cfg: LoraConfig, num_frames: int, max_peaks: int = 8,
     if fuse is None:
         fuse = k <= 1024
     # Rounded UP to a multiple of _R — see make_rdft_spectra.
-    ft = min(frame_tile, -(-max(8, num_frames) // _R) * _R)
+    ft = -(-min(frame_tile, max(8, num_frames)) // _R) * _R
     nft = -(-num_frames // ft)
     fpad = nft * ft
     nkt = k // kt

@@ -83,7 +83,7 @@ def main():
     iq = np.zeros(off2 + len(p2) + 14 * n, np.complex64)
     iq[lead:lead + len(p1)] += p1.astype(np.complex64)
     iq[off2:off2 + len(p2)] += p2.astype(np.complex64)
-    known = [(lead + 7 * n, s1), (off2 - lead + lead + 7 * n, s2)]
+    known = [(lead + 7 * n, s1), (off2 + 7 * n, s2)]
     for tag in ("cold", "warm"):
         walls.clear()
         t0 = time.perf_counter()
