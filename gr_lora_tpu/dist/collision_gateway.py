@@ -499,21 +499,40 @@ class TriggeredPyramidGateway:
             for batch in self._bucket(ready):
                 inflight.append(self._launch_batch(st, batch, win))
                 if len(inflight) > self._MAX_INFLIGHT:
-                    out += self._drain_batch(*inflight.pop(0))
+                    # Drain HALF the queue in one grouped fetch (r5): a
+                    # one-batch pop here paid a full tunnel round trip
+                    # per batch, and with ~30+ batches per pass those
+                    # RTTs WERE the north-star lattice wall; the other
+                    # half keeps computing while the host tracks these.
+                    take = inflight[:self._MAX_INFLIGHT // 2]
+                    del inflight[:self._MAX_INFLIGHT // 2]
+                    out += self._drain_group(take)
         # Host-tracker drains fetch ALL queued batches in one device_get
         # (one tunnel round trip instead of one per batch); device-tracker
         # drains stay per-batch — their fetch is two tiny data-dependent
         # bucket slices each (_fetch_packets).
-        if inflight and not self._device_mode:
-            t0 = time.perf_counter()
-            fetched = jax.device_get([o for _, _, o, _ in inflight])
-            self.wall["lattice"] += time.perf_counter() - t0
-            for (st, events, _, sl), res in zip(inflight, fetched):
-                out += self._track_fetched(st, events, res, sl)
-        else:
-            for item in inflight:
-                out += self._drain_batch(*item)
+        out += self._drain_group(inflight)
         out.sort(key=lambda p: (p.channel, p.position))
+        return out
+
+    def _drain_group(self, items: list) -> list[GatewayPacket]:
+        """Drain a list of in-flight lattice batches.  Host mode fetches
+        every batch's packed peaks in ONE device_get (one tunnel/PCIe
+        round trip for the group); device mode stays per-batch — its
+        fetch is two tiny data-dependent bucket slices each
+        (_fetch_packets)."""
+        out: list[GatewayPacket] = []
+        if not items:
+            return out
+        if self._device_mode:
+            for item in items:
+                out += self._drain_batch(*item)
+            return out
+        t0 = time.perf_counter()
+        fetched = jax.device_get([o for _, _, o, _ in items])
+        self.wall["lattice"] += time.perf_counter() - t0
+        for (st, events, _, sl), res in zip(items, fetched):
+            out += self._track_fetched(st, events, res, sl)
         return out
 
     def _scan_launch(self, st: _SFState, end: int) -> list:
