@@ -774,7 +774,8 @@ _ANCHOR_TOL_BELOW_IDEAL_DB = 1.0
 # random walk (a replicated reference landmine) has no physics ceiling.
 # At the LDR SFs the recorded "weak" curve IS the (identical) policy pair
 # and sits below every swept point (waterfall None) — no margin to record.
-_WEAK_LDRONLY_MARGIN_DB = {7: 5.7, 8: 4.6, 9: 4.0, 10: 3.9}
+# r5 100-trial regeneration: measured 5.47 / 4.99 / 4.36 / 3.50 dB.
+_WEAK_LDRONLY_MARGIN_DB = {7: 5.5, 8: 5.0, 9: 4.4, 10: 3.5}
 _WEAK_TOL_SLACK_DB = 1.5
 
 
