@@ -326,7 +326,12 @@ def main():
         import copy
         try:
             ns_args = copy.copy(args)
-            ns_args.quick = True        # T=2^17 slice, annotated below
+            # FULL north-star fixture (T=2^20/ch x 64 ch), 2 of the
+            # usual 4 timed iterations: the quick T=2^17 slice read
+            # ~1.6x with boundary event drops — not the number the repo
+            # leads with — while the full fixture costs only ~1 min
+            # more here (the per-SF compiles are process-cached).
+            ns_args.quick = False
             ns_args.channels = 64
             ns_args.backend = "fused"
             ns_args.iters = 2
@@ -336,7 +341,8 @@ def main():
                     round(ns["x_realtime_per_channel"], 2),
                 "channels": ns["channels"],
                 "sfs": "7-12",
-                "note": "quick slice (T=2^17/ch; full: --mode north_star)",
+                "note": "full fixture, 2 timed iterations "
+                        "(4: --mode north_star)",
             }
         except Exception as e:          # tunnel weather must not kill the line
             line["north_star"] = {"error": f"{type(e).__name__}: {e}"[:200]}
@@ -1380,13 +1386,16 @@ def bench_north_star(args, emit=True):
         }))
     dev = jax.devices()[0]
     other = dt - sum(w.values())
+    ls = gw.lattice_split
     print(f"# device={dev.device_kind} mode=north_star channels={channels} "
           f"sfs={sfs} p={args.p} backend={args.backend} "
           f"precision={args.precision} T={T} iters={iters} packets={pkts} "
           f"per_channel_x_realtime={per_ch:.2f} "
           f"wall={dt:.3f}s split[ingest={w['ingest']:.3f} "
           f"scan={w['scan']:.3f} "
-          f"lattice={w['lattice']:.3f} tracker={w['tracker']:.3f} "
+          f"lattice={w['lattice']:.3f} "
+          f"(gather={ls['gather']:.3f} dispatch={ls['dispatch']:.3f} "
+          f"fetch={ls['fetch']:.3f}) tracker={w['tracker']:.3f} "
           f"decode={w['decode']:.3f} sic={w['sic']:.3f} "
           f"host/other={other:.3f}] "
           f"dispatched={(gw.dispatched_samples - d0)} "

@@ -263,6 +263,11 @@ class TriggeredPyramidGateway:
         #: lattice = window dispatch+fetch; tracker / decode = host.
         self.wall = {"ingest": 0.0, "scan": 0.0, "lattice": 0.0,
                      "tracker": 0.0, "decode": 0.0, "sic": 0.0}
+        #: Finer attribution of wall['lattice'] (r5 observability):
+        #: 'gather' = on-device window gather dispatch, 'dispatch' =
+        #: lattice program launch (async send), 'fetch' = grouped
+        #: packed-peak device_get syncs.
+        self.lattice_split = {"gather": 0.0, "dispatch": 0.0, "fetch": 0.0}
         #: Samples dispatched to the pyramid lattice (occupancy metric;
         #: includes window overlap) vs samples scanned.
         self.dispatched_samples = 0
@@ -274,6 +279,8 @@ class TriggeredPyramidGateway:
         prev = dict(self.wall)
         for k in self.wall:
             self.wall[k] = 0.0
+        for k in self.lattice_split:
+            self.lattice_split[k] = 0.0
         return prev
 
     # -- plumbing ---------------------------------------------------------
@@ -530,7 +537,9 @@ class TriggeredPyramidGateway:
             return out
         t0 = time.perf_counter()
         fetched = jax.device_get([o for _, _, o, _ in items])
-        self.wall["lattice"] += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.wall["lattice"] += dt
+        self.lattice_split["fetch"] += dt
         for (st, events, _, sl), res in zip(items, fetched):
             out += self._track_fetched(st, events, res, sl)
         return out
@@ -591,10 +600,14 @@ class TriggeredPyramidGateway:
         t0 = time.perf_counter()
         slices = self._ring.gather(chs, los, win)
         self.dispatched_samples += len(events) * win
+        t1 = time.perf_counter()
         fn = self._device_window_fn(st) if self._device_mode \
             else self._lattice(st)
         outs = fn(slices)
-        self.wall["lattice"] += time.perf_counter() - t0
+        t2 = time.perf_counter()
+        self.wall["lattice"] += t2 - t0
+        self.lattice_split["gather"] += t1 - t0
+        self.lattice_split["dispatch"] += t2 - t1
         # SIC needs the window samples again after decode; keep the device
         # slices alive with the batch (freed when the batch drains).
         return st, events, outs, (slices if self._sic else None)
