@@ -473,7 +473,13 @@ class TriggeredPyramidGateway:
 
     #: Bound on queued window batches: each holds its [eb, win, 2] slices
     #: plus lattice outputs on-device until drained.
-    _MAX_INFLIGHT = 8
+    # In-flight lattice batches before a grouped drain (half the queue
+    # per device_get).  16 = groups of 8: each grouped fetch pays one
+    # tunnel RTT, and at the north star the fetch syncs ARE the lattice
+    # wall (r5 attribution: fetch 3.7 s of 4.4 s at depth 8) — deeper
+    # queues halve them; HBM cost per parked batch is only the ~0.25 MB
+    # packed-peak output (plus the window slices when sic=True).
+    _MAX_INFLIGHT = 16
 
     def _process(self, final: bool) -> list[GatewayPacket]:
         end = self._base + self._ring.length
