@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--ebs", type=str, default="8,32")
     ap.add_argument("--mode", type=str, default="device,host")
     ap.add_argument("--backend", type=str, default="xla")
+    ap.add_argument("--precision", type=str, default="default")
     args = ap.parse_args()
 
     import jax
@@ -34,7 +35,7 @@ def main():
 
     base = LoraConfig(sf=8, cr=1, crc=True, ldr=False, explicit_header=True,
                       payload_len=8, p=2, fft_factor=8, threshold=5.0,
-                      precision="default")
+                      precision=args.precision)
     sfs = tuple(int(s) for s in args.sfs.split(","))
     modes = args.mode.split(",")
 
