@@ -229,7 +229,10 @@ def main():
                     choices=["highest", "default", "bf16"], default="bf16",
                     help="north_star: MXU tier for the dense detection "
                          "scan only (argmax + dominance gate tolerate "
-                         "bf16; the extraction lattice keeps --precision)")
+                         "bf16).  The extraction lattice's dense-spectra "
+                         "tiers keep --precision; the fused peak kernels "
+                         "are bf16-dot class by definition "
+                         "(models/pyramid.peak_lattice_fn)")
     ap.add_argument("--event-batch", type=int, default=8,
                     help="north_star: windows per lattice/tracker batch "
                          "(vmap lanes; larger amortizes the device "
@@ -348,10 +351,13 @@ def main():
             line["north_star"] = {"error": f"{type(e).__name__}: {e}"[:200]}
         try:
             fr = {}
+            gbps = _measure_stream_gbps()
+            gops = _measure_vpu_gops()
             for ff in (2, 8):
                 rcfg = cfg.replace(fft_factor=ff)
                 res = bench_roofline(rcfg, args, 16384, emit=False,
-                                     assert_floors=False)
+                                     assert_floors=False,
+                                     stream_gbps=gbps, vpu_gops=gops)
                 fr[f"ff{ff}"] = round(res["rdft"]["frac"], 3)
                 fr[f"ff{ff}_fused"] = round(res["fused"]["frac"], 3)
             fr["bar"] = 0.90
@@ -557,7 +563,8 @@ def _measure_vpu_gops() -> float:
     return fl / per
 
 
-def bench_roofline(cfg, args, num_frames, emit=True, assert_floors=True):
+def bench_roofline(cfg, args, num_frames, emit=True, assert_floors=True,
+                   stream_gbps=None, vpu_gops=None):
     """Computed, ASSERTED speed-of-light accounting (BASELINE.md
     '>= 90 % of speed-of-light FFT throughput per chip').
 
@@ -597,6 +604,17 @@ def bench_roofline(cfg, args, num_frames, emit=True, assert_floors=True):
     import jax
     import jax.numpy as jnp
 
+    from gr_lora_tpu.ops.pallas_rdft import rdft_peaks_supported
+
+    if not rdft_peaks_supported(cfg):
+        # The mode models the SHIPPING rdft kernel; beyond its
+        # single-tile VMEM envelope the probe and kernel cannot build,
+        # and pricing the overlap-tier fallback with the rdft model
+        # would assert against the wrong machine program.
+        raise SystemExit(
+            f"--mode roofline models the rdft kernel, which does not "
+            f"support sf={cfg.sf} x fft_factor={cfg.fft_factor} "
+            f"(n*(K+128) over the SF9-collision-zoom VMEM cap)")
     iq, hop, total = build_inputs(cfg, num_frames)
     # The fused backend is measured at NORTH-STAR occupancy (noise 0.003,
     # packets at 0.2 — the product fixture of --mode north_star): its
@@ -609,8 +627,11 @@ def bench_roofline(cfg, args, num_frames, emit=True, assert_floors=True):
 
     n = cfg.num_samples
     k = cfg.bin_size
-    stream_gbps = _measure_stream_gbps()
-    vpu_gops = _measure_vpu_gops()
+    # Shape-independent ceilings are measured once per process unless
+    # the caller hands them in (the default-mode artifact runs this for
+    # both zooms; only the MXU probe depends on the dot shape).
+    stream_gbps = stream_gbps or _measure_stream_gbps()
+    vpu_gops = vpu_gops or _measure_vpu_gops()
     # The kernel's own dot shape (ops/pallas_rdft defaults): the fused
     # stacked dot is 4*128 rows at narrow zooms, a plain 256-row dot at
     # wide ones.

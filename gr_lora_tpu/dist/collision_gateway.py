@@ -328,7 +328,10 @@ class TriggeredPyramidGateway:
                 from ..models.sic import _peak_fns
                 up, down = _peak_fns(st.cfg)
                 w = jnp.zeros((st.cfg.num_samples, 2), jnp.float32)
-                jax.device_get((up(w), down(w)))
+                # Also the first _reextract batch bucket (refine path):
+                # its (16, n, 2) shape is a separate compile.
+                wb = jnp.zeros((16, st.cfg.num_samples, 2), jnp.float32)
+                jax.device_get((up(w), down(w), up(wb)))
 
     def _win_samples(self, st: _SFState) -> int:
         n = st.cfg.num_samples

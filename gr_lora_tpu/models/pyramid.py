@@ -90,6 +90,13 @@ def peak_lattice_fn(cfg: LoraConfig, num_hops: int, max_peaks: int = 16,
         # below: the chunk spectra G are still materialized per block).
         # 'fused_direct' pins the round-4 direct kernel (kernel A/B).
         # Off-TPU these run interpreted.
+        # NOTE: 'fused' is a bf16-dot-class backend BY DEFINITION where
+        # the rdft/direct kernels dispatch (their dots are bf16 with f32
+        # accumulate regardless of cfg.precision — the precision ladder
+        # governs the dense spectra backends).  Callers who need
+        # bit-stable f32 extraction pick 'xla'/'fast'/'fastp'
+        # explicitly; at SF>=10 x ff=8 the fused tier itself falls to
+        # the f32 overlap kernel.
         from ..ops.dft import _DIRECT_MAX_ELEMS
         from ..ops.pallas_peaks import overlap_peaks_supported
         from ..ops.pallas_rdft import rdft_peaks_supported

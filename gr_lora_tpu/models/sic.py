@@ -557,14 +557,15 @@ def sic_demodulate(iq, cfg: LoraConfig, max_passes: int = 3,
             e_res = float(np.vdot(residual, residual).real)
             if e_res < residual_gate * e0:
                 break
-            if p == 0 and known is not None:
-                # Gate FAILED on the known-packet pass: unexplained
-                # energy remains, so force at least one dense pass even
-                # if nothing subtracted or refined (a known that fails
-                # to align leaves progressed=False, but the dense pass's
-                # self-derived timestamps may still recover the window —
-                # the documented fall-through).
-                continue
+        if p == 0 and known is not None:
+            # The known-packet pass carries no self-derived evidence:
+            # unless the gate above declared the window explained,
+            # always run at least one dense pass — a known that fails
+            # to align leaves progressed=False, but the dense pass's
+            # own timestamps may still recover the window (and with
+            # residual_gate=None this is what makes the loop truly
+            # unconditional).
+            continue
         if not progressed:
             break
     out.sort(key=lambda q: q.position)

@@ -53,8 +53,9 @@ def _stale() -> bool:
     if not _LIB_PATH.exists():
         return True
     t = _LIB_PATH.stat().st_mtime
-    src = _NATIVE_DIR / "src"
-    paths = list(src.glob("*")) + [_NATIVE_DIR / "Makefile"]
+    paths = (list((_NATIVE_DIR / "src").glob("*"))
+             + list((_NATIVE_DIR / "include").glob("*"))
+             + [_NATIVE_DIR / "Makefile"])
     return any(p.is_file() and p.stat().st_mtime > t for p in paths)
 
 
@@ -64,9 +65,15 @@ def _load() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if _stale() and os.environ.get(
-                "GR_LORA_TPU_NO_NATIVE_BUILD") != "1":
-            if not _build() and not _LIB_PATH.exists():
+        if _stale():
+            # NEVER load a known-stale binary: the ctypes signatures
+            # below describe the CURRENT C API, and an old .so would
+            # silently ignore newly added parameters (e.g.
+            # quantize_round).  No library beats a wrong one — callers
+            # degrade to the Python twins.
+            if os.environ.get("GR_LORA_TPU_NO_NATIVE_BUILD") == "1":
+                return None
+            if not _build():
                 return None
         if not _LIB_PATH.exists():
             return None
