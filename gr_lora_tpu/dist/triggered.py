@@ -87,7 +87,10 @@ def make_preamble_scan(cfg: LoraConfig, num_windows: int, max_events: int = 8,
         hit = runs == (need - 1)
         score = jnp.where(hit, 1.0, 0.0) \
             * (1.0 + jnp.arange(num_windows, 0, -1)[None, :])
-        vals, starts = jax.lax.top_k(score, max_events)
+        # A chunk shorter than max_events windows (high SF on a small
+        # scan block, e.g. SF12 at bench --mode scan --quick) can only
+        # carry num_windows detections; top_k rejects k > axis size.
+        vals, starts = jax.lax.top_k(score, min(max_events, num_windows))
         valid = vals > 0.0
         # Back up to the start of the run.
         starts = jnp.maximum(starts - (need - 1), 0)
